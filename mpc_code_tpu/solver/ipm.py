@@ -1,0 +1,371 @@
+"""Batched primal-dual interior-point NLP solver in pure JAX.
+
+TPU-native replacement for IPOPT (+MUMPS), which the reference invokes
+through CasADi ``nlpsol`` for every target/OCP/MHE/adaptation solve
+(reference: MPC_code.py:261-263 options; solve sites at MPC_code.py:704,
+776, 837, 861 and Estimator.py:525).  Design:
+
+- Slack reformulation identical to IPOPT: ``g(w) - s = 0`` with box bounds
+  on ``w`` and ``s``; log-barrier on all finite bounds; primal-dual Newton
+  on the KKT system; fraction-to-boundary; monotone Fiacco-McCormick mu
+  schedule; l1-penalty backtracking line search; primal inertia
+  regularization by exact eigenvalue shift of the condensed Hessian block.
+- Everything is fixed-shape `lax.while_loop` + dense linear algebra, so one
+  ``jit`` compiles the whole solve and ``vmap`` batches thousands of
+  instances per chip (the reference's serial per-step IPOPT calls have no
+  batch axis at all).
+- Derivatives come from `jax.grad` / `jax.jacfwd` / `jax.hessian` on the
+  traced problem functions — the CasADi AD layer has no equivalent here
+  because XLA differentiates the same rollout code the simulator uses.
+
+Fixed variables (lbw == ubw — how the closed loop pins x0, reference
+MPC_code.py:734) are handled exactly: pinned at their bound, their KKT
+rows/columns replaced by identity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mpc_code_tpu.config import SolverOptions
+from mpc_code_tpu.solver.nlp import (
+    IPMResult,
+    NLP,
+    STATUS_ACCEPTABLE,
+    STATUS_INFEASIBLE,
+    STATUS_SOLVED,
+)
+
+_INF = 1e18          # bounds beyond this are treated as absent (IPOPT: 1e19)
+_KAPPA_1 = 1e-2      # interior push (IPOPT kappa_1/kappa_2)
+_KAPPA_2 = 1e-2
+_KAPPA_SIGMA = 1e10  # dual safeguard corridor
+_KAPPA_EPS = 10.0    # barrier sufficient-progress factor
+_KAPPA_MU = 0.2      # linear mu decrease
+_THETA_MU = 1.5      # superlinear mu decrease
+_TAU_MIN = 0.99
+_ETA_LS = 1e-4       # Armijo constant
+_MAX_BACKTRACK = 25
+_DELTA_C = 1e-11     # constant dual regularization
+
+
+class _State(NamedTuple):
+    w: jnp.ndarray
+    s: jnp.ndarray
+    y: jnp.ndarray
+    zl: jnp.ndarray
+    zu: jnp.ndarray
+    mu: jnp.ndarray
+    nu: jnp.ndarray       # l1 merit penalty
+    delta: jnp.ndarray    # persistent extra primal regularization
+    it: jnp.ndarray
+    done: jnp.ndarray
+    kkt0: jnp.ndarray     # unscaled KKT error at mu=0
+    feas: jnp.ndarray
+
+
+def _masked_div(num, den, mask):
+    den_safe = jnp.where(mask, den, 1.0)
+    return jnp.where(mask, num / den_safe, 0.0)
+
+
+def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
+    """Build ``solve(w0, p, lbw, ubw, lbg, ubg) -> IPMResult``.
+
+    The returned callable is jit/vmap friendly; wrap it yourself, e.g.::
+
+        solve = jax.jit(make_solver(nlp))
+        batched = jax.jit(jax.vmap(make_solver(nlp), in_axes=(0, 0, None, None, None, None)))
+    """
+    nw, ng = nlp.nw, nlp.ng
+    nz = nw + ng
+
+    grad_f = jax.grad(nlp.f)
+    if ng > 0:
+        jac_g = jax.jacfwd(nlp.g) if ng >= nw else jax.jacrev(nlp.g)
+
+    def lagrangian(w, p, y):
+        if ng > 0:
+            return nlp.f(w, p) + y @ nlp.g(w, p)
+        return nlp.f(w, p)
+
+    hess_l = jax.hessian(lagrangian)
+
+    def solve(w0, p, lbw, ubw, lbg, ubg) -> IPMResult:
+        dtype = jnp.result_type(jnp.asarray(w0).dtype, jnp.float32)
+        w0 = jnp.asarray(w0, dtype=dtype)
+        lbw = jnp.asarray(lbw, dtype=dtype)
+        ubw = jnp.asarray(ubw, dtype=dtype)
+        lbg = jnp.asarray(lbg, dtype=dtype).reshape(ng)
+        ubg = jnp.asarray(ubg, dtype=dtype).reshape(ng)
+
+        lb = jnp.concatenate([lbw, lbg])
+        ub = jnp.concatenate([ubw, ubg])
+        fixed = (ub - lb) <= 0.0
+        has_lb = (lb > -_INF) & ~fixed
+        has_ub = (ub < _INF) & ~fixed
+        fixed_w, fixed_s = fixed[:nw], fixed[nw:]
+
+        mu0 = jnp.asarray(opts.mu_init, dtype=dtype)
+
+        # --- interior initialization (IPOPT eq. (23)-(24) style push) ---
+        def push_interior(z):
+            pl = jnp.minimum(_KAPPA_1 * jnp.maximum(1.0, jnp.abs(lb)),
+                             _KAPPA_2 * jnp.where(has_ub, ub - lb, jnp.inf))
+            pu = jnp.minimum(_KAPPA_1 * jnp.maximum(1.0, jnp.abs(ub)),
+                             _KAPPA_2 * jnp.where(has_lb, ub - lb, jnp.inf))
+            zlo = jnp.where(has_lb, lb + pl, -jnp.inf)
+            zhi = jnp.where(has_ub, ub - pu, jnp.inf)
+            z = jnp.clip(z, zlo, zhi)
+            return jnp.where(fixed, lb, z)
+
+        w_init = push_interior(jnp.concatenate([w0, jnp.zeros(ng, dtype=dtype)]))[:nw]
+        # keep fixed w at their pinned value
+        w_init = jnp.where(fixed_w, lbw, w_init)
+        g0 = nlp.g(w_init, p) if ng > 0 else jnp.zeros(0, dtype=dtype)
+        s_init = push_interior(jnp.concatenate([jnp.full(nw, jnp.inf, dtype=dtype), g0]))[nw:]
+        s_init = jnp.where(fixed_s, lbg, s_init)
+
+        z0 = jnp.concatenate([w_init, s_init])
+        zl0 = jnp.where(has_lb, jnp.clip(mu0 / jnp.where(has_lb, z0 - lb, 1.0), 1e-8, 1e8), 0.0)
+        zu0 = jnp.where(has_ub, jnp.clip(mu0 / jnp.where(has_ub, ub - z0, 1.0), 1e-8, 1e8), 0.0)
+
+        state = _State(
+            w=w_init,
+            s=s_init,
+            y=jnp.zeros(ng, dtype=dtype),
+            zl=zl0,
+            zu=zu0,
+            mu=mu0,
+            nu=jnp.asarray(1.0, dtype=dtype),
+            delta=jnp.asarray(0.0, dtype=dtype),
+            it=jnp.asarray(0, dtype=jnp.int32),
+            done=jnp.asarray(False),
+            kkt0=jnp.asarray(jnp.inf, dtype=dtype),
+            feas=jnp.asarray(jnp.inf, dtype=dtype),
+        )
+
+        def barrier_phi(w, s, mu):
+            z = jnp.concatenate([w, s])
+            tl = jnp.where(has_lb, jnp.log(jnp.where(has_lb, jnp.maximum(z - lb, 1e-300), 1.0)), 0.0)
+            tu = jnp.where(has_ub, jnp.log(jnp.where(has_ub, jnp.maximum(ub - z, 1e-300), 1.0)), 0.0)
+            return nlp.f(w, p) - mu * (jnp.sum(tl) + jnp.sum(tu))
+
+        def constraint_res(w, s):
+            if ng == 0:
+                return jnp.zeros(0, dtype=dtype)
+            return nlp.g(w, p) - s
+
+        def kkt_errors(w, s, y, zl, zu, mu):
+            z = jnp.concatenate([w, s])
+            gf = grad_f(w, p)
+            if ng > 0:
+                J = jac_g(w, p)
+                r_w = gf + J.T @ y - zl[:nw] + zu[:nw]
+            else:
+                r_w = gf - zl[:nw] + zu[:nw]
+            r_s = -y - zl[nw:] + zu[nw:]
+            r_stat = jnp.concatenate([jnp.where(fixed_w, 0.0, r_w), jnp.where(fixed_s, 0.0, r_s)])
+            r_c = constraint_res(w, s)
+            comp_l = jnp.where(has_lb, (z - lb) * zl - mu, 0.0)
+            comp_u = jnp.where(has_ub, (ub - z) * zu - mu, 0.0)
+            s_max = 100.0
+            denom = nz + ng
+            s_d = jnp.maximum(s_max, (jnp.sum(jnp.abs(y)) + jnp.sum(zl) + jnp.sum(zu)) / denom) / s_max
+            s_c = jnp.maximum(s_max, (jnp.sum(zl) + jnp.sum(zu)) / nz) / s_max
+            e_stat = jnp.max(jnp.abs(r_stat), initial=0.0) / s_d
+            e_feas = jnp.max(jnp.abs(r_c), initial=0.0)
+            e_comp = jnp.maximum(jnp.max(jnp.abs(comp_l), initial=0.0),
+                                 jnp.max(jnp.abs(comp_u), initial=0.0)) / s_c
+            return jnp.maximum(jnp.maximum(e_stat, e_feas), e_comp), e_feas
+
+        def body(st: _State) -> _State:
+            w, s, y, zl, zu, mu = st.w, st.s, st.y, st.zl, st.zu, st.mu
+            z = jnp.concatenate([w, s])
+
+            gf = grad_f(w, p)
+            H = hess_l(w, p, y)
+            if ng > 0:
+                J = jac_g(w, p)
+            r_c = constraint_res(w, s)
+
+            dzl_gap = jnp.where(has_lb, z - lb, 1.0)
+            dzu_gap = jnp.where(has_ub, ub - z, 1.0)
+            sig_l = _masked_div(zl, dzl_gap, has_lb)
+            sig_u = _masked_div(zu, dzu_gap, has_ub)
+            sigma = sig_l + sig_u
+            sigma_w, sigma_s = sigma[:nw], sigma[nw:]
+
+            # barrier gradient pieces  mu/(z-lb) - mu/(ub-z)
+            bgrad = _masked_div(mu * jnp.ones_like(z), dzl_gap, has_lb) - _masked_div(
+                mu * jnp.ones_like(z), dzu_gap, has_ub
+            )
+            bgrad_w, bgrad_s = bgrad[:nw], bgrad[nw:]
+
+            # condensed Hessian block with fixed-variable masking
+            Hbar = H + jnp.diag(sigma_w)
+            free_w = ~fixed_w
+            maskmat = jnp.outer(free_w, free_w)
+            Hbar = jnp.where(maskmat, Hbar, 0.0) + jnp.diag(jnp.where(fixed_w, 1.0, 0.0))
+
+            # Exact inertia fix: shift so Hbar is positive definite.  The
+            # shift threshold must NOT scale with the spectrum — near
+            # convergence active-bound barrier terms push max|eig| to 1e10+,
+            # and a spectrum-scaled shift would wreck the Newton direction
+            # for the remaining free variables.
+            eigs = jnp.linalg.eigvalsh(0.5 * (Hbar + Hbar.T))
+            lam_min = eigs[0]
+            delta_w = jnp.where(lam_min > 1e-10, 0.0,
+                                -lam_min + 1e-8 * jnp.maximum(1.0, -lam_min)) + st.delta
+            Hbar = Hbar + delta_w * jnp.diag(jnp.where(free_w, 1.0, 0.0))
+
+            rhs_w = jnp.where(free_w, -(gf + (J.T @ y if ng > 0 else 0.0)) + bgrad_w, 0.0)
+
+            if ng > 0:
+                sinv = _masked_div(jnp.ones_like(sigma_s), sigma_s, (~fixed_s) & (sigma_s > 0))
+                Jm = jnp.where(free_w[None, :], J, 0.0)
+                K = jnp.block([
+                    [Hbar, Jm.T],
+                    [Jm, -jnp.diag(sinv + _DELTA_C)],
+                ])
+                rhs_c = -r_c + sinv * (y + bgrad_s)
+                rhs = jnp.concatenate([rhs_w, rhs_c])
+                sol = jnp.linalg.solve(K, rhs)
+                dw, dy = sol[:nw], sol[nw:]
+                ds = jnp.where(fixed_s, 0.0, sinv * (dy + y + bgrad_s))
+            else:
+                dw = jnp.linalg.solve(Hbar, rhs_w)
+                dy = jnp.zeros(0, dtype=dtype)
+                ds = jnp.zeros(0, dtype=dtype)
+
+            dw = jnp.where(fixed_w, 0.0, dw)
+            dz = jnp.concatenate([dw, ds])
+            dzl = jnp.where(has_lb, -zl + _masked_div(mu - zl * dz, dzl_gap, has_lb) + 0.0, 0.0)
+            # primal-dual: dzl = -zl + (mu - zl*dz)/(z-lb)
+            dzu = jnp.where(has_ub, -zu + _masked_div(mu + zu * dz, dzu_gap, has_ub), 0.0)
+
+            bad = ~jnp.all(jnp.isfinite(jnp.concatenate([dz, dy, dzl, dzu])))
+
+            # fraction to boundary
+            tau = jnp.maximum(_TAU_MIN, 1.0 - mu)
+            a_l = jnp.where(has_lb & (dz < 0), -tau * dzl_gap / jnp.where(dz < 0, dz, -1.0), jnp.inf)
+            a_u = jnp.where(has_ub & (dz > 0), tau * dzu_gap / jnp.where(dz > 0, dz, 1.0), jnp.inf)
+            alpha_max = jnp.minimum(1.0, jnp.minimum(jnp.min(a_l, initial=jnp.inf),
+                                                     jnp.min(a_u, initial=jnp.inf)))
+            a_zl = jnp.where(has_lb & (dzl < 0), -tau * zl / jnp.where(dzl < 0, dzl, -1.0), jnp.inf)
+            a_zu = jnp.where(has_ub & (dzu < 0), -tau * zu / jnp.where(dzu < 0, dzu, -1.0), jnp.inf)
+            alpha_dual = jnp.minimum(1.0, jnp.minimum(jnp.min(a_zl, initial=jnp.inf),
+                                                      jnp.min(a_zu, initial=jnp.inf)))
+
+            # l1 merit line search
+            nu = jnp.maximum(st.nu, 1.5 * jnp.max(jnp.abs(y + dy), initial=0.0) + 1e-4)
+            c_norm = jnp.sum(jnp.abs(r_c))
+            phi0 = barrier_phi(w, s, mu)
+            psi0 = phi0 + nu * c_norm
+            # directional derivative of phi along dz
+            dphi = (gf @ dw) - jnp.sum(bgrad * dz)
+            dpsi = dphi - nu * c_norm
+
+            # Near a KKT point the merit decrease falls below f64 roundoff and
+            # Armijo would reject spuriously; take the full (fraction-to-
+            # boundary-limited) Newton step there to keep local quadratic
+            # convergence (IPOPT's filter achieves the same via relative
+            # margins).
+            eps_mach = jnp.finfo(dtype).eps
+            slack = 10.0 * eps_mach * (jnp.abs(psi0) + 1.0)
+            near_opt = st.kkt0 < 1e-5
+
+            def ls_cond(carry):
+                j, accepted, _ = carry
+                return (~accepted) & (j < _MAX_BACKTRACK)
+
+            def ls_body(carry):
+                j, _, _ = carry
+                alpha = alpha_max * (0.5 ** j)
+                w_t = w + alpha * dw
+                s_t = s + alpha * ds
+                psi_t = barrier_phi(w_t, s_t, mu) + nu * jnp.sum(jnp.abs(constraint_res(w_t, s_t)))
+                ok = psi_t <= psi0 + _ETA_LS * alpha * dpsi + slack
+                return (j + 1, ok, alpha)
+
+            _, accepted, alpha = lax.while_loop(ls_cond, ls_body, (jnp.asarray(0, jnp.int32),
+                                                                   near_opt,
+                                                                   alpha_max))
+            accepted = accepted | near_opt
+            alpha = jnp.where(accepted, alpha, alpha_max * (0.5 ** _MAX_BACKTRACK))
+            alpha = jnp.where(bad, 0.0, alpha)
+
+            w_n = w + alpha * dw
+            s_n = s + alpha * ds
+            y_n = y + alpha * dy
+            zl_n = zl + jnp.where(bad, 0.0, alpha_dual) * dzl
+            zu_n = zu + jnp.where(bad, 0.0, alpha_dual) * dzu
+
+            # dual safeguard corridor (IPOPT kappa_Sigma)
+            z_n = jnp.concatenate([w_n, s_n])
+            gl = jnp.where(has_lb, jnp.maximum(z_n - lb, 1e-300), 1.0)
+            gu = jnp.where(has_ub, jnp.maximum(ub - z_n, 1e-300), 1.0)
+            zl_n = jnp.where(has_lb, jnp.clip(zl_n, mu / (_KAPPA_SIGMA * gl), _KAPPA_SIGMA * mu / gl), 0.0)
+            zu_n = jnp.where(has_ub, jnp.clip(zu_n, mu / (_KAPPA_SIGMA * gu), _KAPPA_SIGMA * mu / gu), 0.0)
+
+            # regularization memory: grow when the step failed, decay otherwise
+            delta_n = jnp.where(bad | ~accepted,
+                                jnp.maximum(st.delta * 10.0, 1e-8),
+                                st.delta / 3.0)
+
+            e_mu, _ = kkt_errors(w_n, s_n, y_n, zl_n, zu_n, mu)
+            e_0, feas = kkt_errors(w_n, s_n, y_n, zl_n, zu_n, jnp.zeros_like(mu))
+
+            mu_n = jnp.where(
+                e_mu <= _KAPPA_EPS * mu,
+                jnp.maximum(opts.tol / 10.0, jnp.minimum(_KAPPA_MU * mu, mu ** _THETA_MU)),
+                mu,
+            )
+            done_n = e_0 <= opts.tol
+
+            new = _State(w=w_n, s=s_n, y=y_n, zl=zl_n, zu=zu_n, mu=mu_n, nu=nu,
+                         delta=delta_n, it=st.it + 1, done=done_n, kkt0=e_0, feas=feas)
+            # freeze lanes that already converged (relevant under vmap)
+            return jax.tree_util.tree_map(
+                lambda old_leaf, new_leaf: jnp.where(st.done, old_leaf, new_leaf), st, new
+            )
+
+        def cond(st: _State):
+            return (~st.done) & (st.it < opts.max_iter)
+
+        final = lax.while_loop(cond, body, state)
+
+        status = jnp.where(
+            final.kkt0 <= opts.tol,
+            STATUS_SOLVED,
+            jnp.where(final.feas <= opts.constr_viol_tol, STATUS_ACCEPTABLE, STATUS_INFEASIBLE),
+        ).astype(jnp.int32)
+
+        return IPMResult(
+            w=final.w,
+            f=nlp.f(final.w, p),
+            lam_g=final.y,
+            status=status,
+            iters=final.it,
+            kkt_err=final.kkt0,
+            feas_err=final.feas,
+        )
+
+    return solve
+
+
+def kkt_error(nlp: NLP, res: IPMResult, p, lbw, ubw, lbg, ubg):
+    """Unscaled stationarity/feasibility/complementarity residuals at a
+    solution — test oracle for solver correctness."""
+    w = res.w
+    g = nlp.g(w, p) if nlp.ng > 0 else jnp.zeros(0)
+    feas = jnp.maximum(jnp.max(jnp.maximum(g - ubg, 0.0), initial=0.0),
+                       jnp.max(jnp.maximum(lbg - g, 0.0), initial=0.0))
+    box = jnp.maximum(jnp.max(jnp.maximum(w - ubw, 0.0), initial=0.0),
+                      jnp.max(jnp.maximum(lbw - w, 0.0), initial=0.0))
+    return {"feas_g": feas, "feas_box": box, "kkt": res.kkt_err}

@@ -1,0 +1,21 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh in f64.
+
+Real-TPU runs are exercised by bench.py and the driver's compile checks; the
+test suite validates numerics (f64 on CPU) and multi-chip sharding (virtual
+devices), per SURVEY.md section 4 test strategy item 4.
+
+Note: the environment's sitecustomize imports jax and registers the remote
+TPU ('axon') backend before conftest runs, so the env-var route
+(JAX_PLATFORMS) is already latched — we must override via jax.config.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
