@@ -275,6 +275,7 @@ class SolverOptions:
     tol: float = 1e-8
     mu_init: float = 1e-1
     constr_viol_tol: float = 1e-6
+    debug: bool = False
 
 
 @dataclass

@@ -105,97 +105,95 @@ def build_ocp(cfg: MPCConfig, model: ModelFns, f_obj: Callable, vfin: Callable) 
 
         integ_cont = rk4_quad(ode, quad, Mx)
 
+    # Stage computations are vmapped over the horizon: one O(1) traced graph
+    # regardless of N (the reference's symbolic loop unrolls N copies;
+    # unrolling in JAX would make trace/compile time O(N*Mx)).
+
     def unpack(w):
-        X = [w[k * nxu : k * nxu + nx] for k in range(N + 1)]
-        U = [w[k * nxu + nx : (k + 1) * nxu] for k in range(N)]
+        body = w[: N * nxu].reshape(N, nxu)
+        X = jnp.concatenate([body[:, :nx], w[N * nxu : N * nxu + nx][None]], axis=0)  # (N+1, nx)
+        U = body[:, nx:]                                   # (N, nu)
         Sl = w[nw - ns : nw] if ns else None
         return X, U, Sl
 
     def stage_quantities(w, p):
         X, U, Sl = unpack(w)
-        lam = p["lam"]
-        Y = [model.fy(X[k], U[k], p["d"], p["t"], p["py"][k]) + lam @ (U[k] - p["us"])
-             for k in range(N)]  # KKT-matching correction (Control_Calc.py:130)
+        Y = jax.vmap(lambda x, u, py: model.fy(x, u, p["d"], p["t"], py))(X[:N], U, p["py"])
+        Y = Y + (U - p["us"]) @ p["lam"].T  # KKT-matching correction (Control_Calc.py:130)
         return X, U, Sl, Y
+
+    def _du(U, p):
+        return U - jnp.concatenate([p["um1"][None], U[:-1]], axis=0)
+
+    def _cont_integrate(X, U, p):
+        return jax.vmap(lambda x, u, px, py: integ_cont(
+            x, p["t"], cfg.h, u, p["d"], px, p["xs"], p["us"], py))(X[:N], U, p["px"], p["py"])
 
     def g_fn(w, p):
         X, U, Sl, Y = stage_quantities(w, p)
-        g = [p["x0"] - X[0]]                       # Control_Calc.py:126
-        g1, g2, g4, g5 = [], [], [], []
-        sl_ub_rows, sl_lb_rows = [], []
-        for k in range(N):
-            if cfg.G_ineq is not None:
-                Gk = cfg.G_ineq(X[k], U[k], Y[k], p["d"], p["t"], p["px"][k], p["py"][k]).reshape(-1)
-                if cfg.slacks and cfg.slacksG:
-                    Gk = Gk - Sl[2 * ny : 2 * ny + ng_user]
-                g4.append(Gk)
-            if cfg.H_eq is not None:
-                Hk = cfg.H_eq(X[k], U[k], Y[k], p["d"], p["t"], p["px"][k], p["py"][k]).reshape(-1)
-                if cfg.slacks and cfg.slacksH:
-                    Hk = Hk - Sl[2 * ny + ng_user : 2 * ny + ng_user + nh_user]
-                g5.append(Hk)
-            if not y_free:
-                g1.append(Y[k])
-            if cont_form:
-                xf, _ = integ_cont(X[k], p["t"], cfg.h, U[k], p["d"], p["px"][k],
-                                   p["xs"], p["us"], p["py"][k])
-                g.append(X[k + 1] - xf)            # Control_Calc.py:154-155
-            else:
-                x_next = model.fx(X[k], U[k], cfg.h, p["d"], p["t"], p["px"][k])
-                if not du_free:
-                    du_k = U[k] - (p["um1"] if k == 0 else U[k - 1])
-                    g2.append(du_k)
-                g.append(x_next - X[k + 1])        # Control_Calc.py:171
-            if cfg.slacks and not cont_form:
-                sl_ub_rows.append(Sl[0:ny])
-                sl_lb_rows.append(Sl[ny : 2 * ny])
+        if cont_form:
+            xf, _ = _cont_integrate(X, U, p)
+            defects = X[1:] - xf                           # Control_Calc.py:154-155
+        else:
+            x_next = jax.vmap(lambda x, u, px: model.fx(x, u, cfg.h, p["d"], p["t"], px))(
+                X[:N], U, p["px"])
+            defects = x_next - X[1:]                       # Control_Calc.py:171
+        rows = [p["x0"] - X[0], defects.reshape(-1)]       # Control_Calc.py:126
         dxN = X[N] - p["xs"] if cfg.QForm else X[N]
         if cfg.TermCons:
-            g.append(dxN)                          # Control_Calc.py:197-198
-        rows = [jnp.concatenate(g)]
-        if g1:
-            g1v = jnp.concatenate(g1)
+            rows.append(dxN)                               # Control_Calc.py:197-198
+        if not y_free:
+            g1v = Y.reshape(-1)
             if cfg.slacks:
                 # one-sided slack-relaxed pair (Control_Calc.py:232-239)
-                slb = jnp.concatenate(sl_lb_rows)
-                sub = jnp.concatenate(sl_ub_rows)
+                slb = jnp.tile(Sl[ny : 2 * ny], N)
+                sub = jnp.tile(Sl[0:ny], N)
                 ymin_t = jnp.tile(jnp.asarray(ymin), N)
                 ymax_t = jnp.tile(jnp.asarray(ymax), N)
                 g1v = jnp.concatenate([ymin_t - g1v - slb, -ymax_t + g1v - sub])
             rows.append(g1v)
-        if g2:
-            rows.append(jnp.concatenate(g2))
-        if g4:
-            rows.append(jnp.concatenate(g4))
-        if g5:
-            rows.append(jnp.concatenate(g5))
-        return jnp.concatenate(rows) if len(rows) > 1 else rows[0]
+        if (not du_free) and (not cont_form):
+            rows.append(_du(U, p).reshape(-1))
+        if cfg.G_ineq is not None:
+            G = jax.vmap(lambda x, u, yk, px, py: cfg.G_ineq(
+                x, u, yk, p["d"], p["t"], px, py).reshape(-1))(X[:N], U, Y, p["px"], p["py"])
+            if cfg.slacks and cfg.slacksG:
+                G = G - Sl[2 * ny : 2 * ny + ng_user][None, :]
+            rows.append(G.reshape(-1))
+        if cfg.H_eq is not None:
+            Hc = jax.vmap(lambda x, u, yk, px, py: cfg.H_eq(
+                x, u, yk, p["d"], p["t"], px, py).reshape(-1))(X[:N], U, Y, p["px"], p["py"])
+            if cfg.slacks and cfg.slacksH:
+                Hc = Hc - Sl[2 * ny + ng_user : 2 * ny + ng_user + nh_user][None, :]
+            rows.append(Hc.reshape(-1))
+        return jnp.concatenate(rows)
 
     def f_fn(w, p):
         X, U, Sl, Y = stage_quantities(w, p)
-        ys = model.fy(p["xs"], p["us"], p["d"], p["t"], p["py"][0])  # Control_Calc.py:124
-        total = jnp.zeros((), dtype=w.dtype)
-        for k in range(N):
-            if cont_form:
-                _, qk = integ_cont(X[k], p["t"], cfg.h, U[k], p["d"], p["px"][k],
-                                   p["xs"], p["us"], p["py"][k])
-                total = total + qk
+        if cont_form:
+            _, q = _cont_integrate(X, U, p)
+            total = jnp.sum(q)
+        else:
+            ys = model.fy(p["xs"], p["us"], p["d"], p["t"], p["py"][0])  # Control_Calc.py:124
+            DU = _du(U, p)
+            dX, dU, dY = X[:N], U, Y
+            if cfg.QForm:                                   # Control_Calc.py:176-179
+                dX = dX - p["xs"]
+                dU = dU - p["us"]
+                dY = dY - ys
+            if cfg.DUForm:                                  # Control_Calc.py:180-181
+                dU = DU
+            if cfg.DUFormEcon:
+                stage = jax.vmap(lambda dx, du, dy, du_k: f_obj(
+                    dx, du, dy, p["xs"], du_k, ys))(dX, dU, dY, DU)
             else:
-                du_k = U[k] - (p["um1"] if k == 0 else U[k - 1])
-                dx, du, dy = X[k], U[k], Y[k]
-                if cfg.QForm:                       # Control_Calc.py:176-179
-                    dx = dx - p["xs"]
-                    du = du - p["us"]
-                    dy = dy - ys
-                if cfg.DUForm:                      # Control_Calc.py:180-181
-                    du = du_k
-                us_obj = du_k if cfg.DUFormEcon else p["us"]
-                stage = f_obj(dx, du, dy, p["xs"], us_obj, ys)
-                if cfg.slacks:
-                    stage = stage + Sl @ (Ws @ Sl)  # Control_Calc.py:187
-                total = total + stage
+                stage = jax.vmap(lambda dx, du, dy: f_obj(
+                    dx, du, dy, p["xs"], p["us"], ys))(dX, dU, dY)
+            total = jnp.sum(stage)
+            if cfg.slacks:
+                total = total + N * (Sl @ (Ws @ Sl))        # Control_Calc.py:187 (per stage)
         dxN = X[N] - p["xs"] if cfg.QForm else X[N]
-        total = total + vfin(dxN, p["xs"])          # Control_Calc.py:209-210
+        total = total + vfin(dxN, p["xs"])                  # Control_Calc.py:209-210
         return total
 
     # --- constraint-row count & bounds (must match g_fn ordering) ---

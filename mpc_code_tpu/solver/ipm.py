@@ -85,51 +85,80 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
     nw, ng = nlp.nw, nlp.ng
     nz = nw + ng
 
-    grad_f = jax.grad(nlp.f)
+    raw_grad_f = jax.grad(nlp.f)
     if ng > 0:
-        jac_g = jax.jacfwd(nlp.g) if ng >= nw else jax.jacrev(nlp.g)
+        raw_jac_g = jax.jacfwd(nlp.g) if ng >= nw else jax.jacrev(nlp.g)
 
-    def lagrangian(w, p, y):
+    def scaled_lagrangian(w, p, yf, yg):
         if ng > 0:
-            return nlp.f(w, p) + y @ nlp.g(w, p)
-        return nlp.f(w, p)
+            return yf * nlp.f(w, p) + yg @ nlp.g(w, p)
+        return yf * nlp.f(w, p)
 
-    hess_l = jax.hessian(lagrangian)
+    raw_hess_l = jax.hessian(scaled_lagrangian)
 
     def solve(w0, p, lbw, ubw, lbg, ubg) -> IPMResult:
         dtype = jnp.result_type(jnp.asarray(w0).dtype, jnp.float32)
         w0 = jnp.asarray(w0, dtype=dtype)
         lbw = jnp.asarray(lbw, dtype=dtype)
         ubw = jnp.asarray(ubw, dtype=dtype)
-        lbg = jnp.asarray(lbg, dtype=dtype).reshape(ng)
-        ubg = jnp.asarray(ubg, dtype=dtype).reshape(ng)
+        lbg_u = jnp.asarray(lbg, dtype=dtype).reshape(ng)
+        ubg_u = jnp.asarray(ubg, dtype=dtype).reshape(ng)
 
-        lb = jnp.concatenate([lbw, lbg])
-        ub = jnp.concatenate([ubw, ubg])
-        fixed = (ub - lb) <= 0.0
-        has_lb = (lb > -_INF) & ~fixed
-        has_ub = (ub < _INF) & ~fixed
-        fixed_w, fixed_s = fixed[:nw], fixed[nw:]
+        fixed_w = (ubw - lbw) <= 0.0
+        fixed_s = (ubg_u - lbg_u) <= 0.0
 
         mu0 = jnp.asarray(opts.mu_init, dtype=dtype)
 
         # --- interior initialization (IPOPT eq. (23)-(24) style push) ---
-        def push_interior(z):
+        def push_interior(z, lb, ub, has_lb, has_ub, fixed):
             pl = jnp.minimum(_KAPPA_1 * jnp.maximum(1.0, jnp.abs(lb)),
                              _KAPPA_2 * jnp.where(has_ub, ub - lb, jnp.inf))
             pu = jnp.minimum(_KAPPA_1 * jnp.maximum(1.0, jnp.abs(ub)),
                              _KAPPA_2 * jnp.where(has_lb, ub - lb, jnp.inf))
             zlo = jnp.where(has_lb, lb + pl, -jnp.inf)
             zhi = jnp.where(has_ub, ub - pu, jnp.inf)
-            z = jnp.clip(z, zlo, zhi)
-            return jnp.where(fixed, lb, z)
+            return jnp.where(fixed, lb, jnp.clip(z, zlo, zhi))
 
-        w_init = push_interior(jnp.concatenate([w0, jnp.zeros(ng, dtype=dtype)]))[:nw]
-        # keep fixed w at their pinned value
-        w_init = jnp.where(fixed_w, lbw, w_init)
-        g0 = nlp.g(w_init, p) if ng > 0 else jnp.zeros(0, dtype=dtype)
-        s_init = push_interior(jnp.concatenate([jnp.full(nw, jnp.inf, dtype=dtype), g0]))[nw:]
-        s_init = jnp.where(fixed_s, lbg, s_init)
+        has_lbw = (lbw > -_INF) & ~fixed_w
+        has_ubw = (ubw < _INF) & ~fixed_w
+        w_init = push_interior(w0, lbw, ubw, has_lbw, has_ubw, fixed_w)
+
+        # --- gradient-based problem scaling (IPOPT nlp_scaling_method=
+        # gradient-based, gmax=100): scale f and each g row so the largest
+        # first-derivative entry at the start point is <= 100.  Essential for
+        # physically-scaled problems (states ~1e2 next to states ~1e-1).
+        gmax = 100.0
+        gf0 = raw_grad_f(w_init, p)
+        sf = jnp.minimum(1.0, gmax / jnp.maximum(jnp.max(jnp.abs(gf0)), 1e-8))
+        if ng > 0:
+            J0 = raw_jac_g(w_init, p)
+            sg = jnp.minimum(1.0, gmax / jnp.maximum(jnp.max(jnp.abs(J0), axis=1), 1e-8))
+        else:
+            sg = jnp.zeros(0, dtype=dtype)
+
+        lbg_s = sg * lbg_u
+        ubg_s = sg * ubg_u
+
+        def grad_f(w, p):
+            return sf * raw_grad_f(w, p)
+
+        def jac_g(w, p):
+            return sg[:, None] * raw_jac_g(w, p)
+
+        def hess_l(w, p, y):
+            return raw_hess_l(w, p, sf, y * sg)
+
+        def g_scaled(w, p):
+            return sg * nlp.g(w, p)
+
+        lb = jnp.concatenate([lbw, lbg_s])
+        ub = jnp.concatenate([ubw, ubg_s])
+        fixed = jnp.concatenate([fixed_w, fixed_s])
+        has_lb = (lb > -_INF) & ~fixed
+        has_ub = (ub < _INF) & ~fixed
+
+        g0 = g_scaled(w_init, p) if ng > 0 else jnp.zeros(0, dtype=dtype)
+        s_init = push_interior(g0, lbg_s, ubg_s, has_lb[nw:], has_ub[nw:], fixed_s)
 
         z0 = jnp.concatenate([w_init, s_init])
         zl0 = jnp.where(has_lb, jnp.clip(mu0 / jnp.where(has_lb, z0 - lb, 1.0), 1e-8, 1e8), 0.0)
@@ -154,12 +183,12 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
             z = jnp.concatenate([w, s])
             tl = jnp.where(has_lb, jnp.log(jnp.where(has_lb, jnp.maximum(z - lb, 1e-300), 1.0)), 0.0)
             tu = jnp.where(has_ub, jnp.log(jnp.where(has_ub, jnp.maximum(ub - z, 1e-300), 1.0)), 0.0)
-            return nlp.f(w, p) - mu * (jnp.sum(tl) + jnp.sum(tu))
+            return sf * nlp.f(w, p) - mu * (jnp.sum(tl) + jnp.sum(tu))
 
         def constraint_res(w, s):
             if ng == 0:
                 return jnp.zeros(0, dtype=dtype)
-            return nlp.g(w, p) - s
+            return g_scaled(w, p) - s
 
         def kkt_errors(w, s, y, zl, zu, mu):
             z = jnp.concatenate([w, s])
@@ -213,22 +242,36 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
             maskmat = jnp.outer(free_w, free_w)
             Hbar = jnp.where(maskmat, Hbar, 0.0) + jnp.diag(jnp.where(fixed_w, 1.0, 0.0))
 
-            # Exact inertia fix: shift so Hbar is positive definite.  The
-            # shift threshold must NOT scale with the spectrum — near
-            # convergence active-bound barrier terms push max|eig| to 1e10+,
-            # and a spectrum-scaled shift would wreck the Newton direction
-            # for the remaining free variables.
-            eigs = jnp.linalg.eigvalsh(0.5 * (Hbar + Hbar.T))
-            lam_min = eigs[0]
-            delta_w = jnp.where(lam_min > 1e-10, 0.0,
-                                -lam_min + 1e-8 * jnp.maximum(1.0, -lam_min)) + st.delta
-            Hbar = Hbar + delta_w * jnp.diag(jnp.where(free_w, 1.0, 0.0))
-
+            # Inertia correction (IPOPT's delta_w ladder): the KKT matrix has
+            # the right inertia (nw positive, ng negative) iff the Schur
+            # complement Hbar + J' D^{-1} J is positive definite, where D is
+            # the slack-sigma block (equality rows -> 1/delta_c penalty).
+            # Note: PD on the *constraint null space* only — shifting the
+            # full Hessian spectrum instead cripples Newton on locally
+            # nonconvex but second-order-sufficient problems.
             rhs_w = jnp.where(free_w, -(gf + (J.T @ y if ng > 0 else 0.0)) + bgrad_w, 0.0)
 
             if ng > 0:
                 sinv = _masked_div(jnp.ones_like(sigma_s), sigma_s, (~fixed_s) & (sigma_s > 0))
                 Jm = jnp.where(free_w[None, :], J, 0.0)
+                dinv = 1.0 / (sinv + _DELTA_C)
+                M_test = 0.5 * (Hbar + Hbar.T) + Jm.T @ (dinv[:, None] * Jm)
+            else:
+                M_test = 0.5 * (Hbar + Hbar.T)
+
+            deltas = jnp.asarray([0.0, 1e-8, 1e-6, 1e-4, 1e-2, 1.0, 1e2, 1e4], dtype=dtype)
+            eye_free = jnp.diag(jnp.where(free_w, 1.0, 0.0))
+
+            def _pd_ok(d):
+                L = jnp.linalg.cholesky(M_test + d * eye_free)
+                return jnp.all(jnp.isfinite(L))
+
+            ok = jax.vmap(_pd_ok)(deltas)
+            first = jnp.argmax(ok)
+            delta_w = jnp.where(jnp.any(ok), deltas[first], 1e6) + st.delta
+            Hbar = Hbar + delta_w * jnp.diag(jnp.where(free_w, 1.0, 0.0))
+
+            if ng > 0:
                 K = jnp.block([
                     [Hbar, Jm.T],
                     [Jm, -jnp.diag(sinv + _DELTA_C)],
@@ -244,32 +287,30 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
                 ds = jnp.zeros(0, dtype=dtype)
 
             dw = jnp.where(fixed_w, 0.0, dw)
+
+            def ftb_primal(dz_v, mu_v):
+                """Fraction-to-boundary step cap for a primal direction."""
+                tau = jnp.maximum(_TAU_MIN, 1.0 - mu_v)
+                a_l = jnp.where(has_lb & (dz_v < 0),
+                                -tau * dzl_gap / jnp.where(dz_v < 0, dz_v, -1.0), jnp.inf)
+                a_u = jnp.where(has_ub & (dz_v > 0),
+                                tau * dzu_gap / jnp.where(dz_v > 0, dz_v, 1.0), jnp.inf)
+                return jnp.minimum(1.0, jnp.minimum(jnp.min(a_l, initial=jnp.inf),
+                                                    jnp.min(a_u, initial=jnp.inf)))
+
             dz = jnp.concatenate([dw, ds])
-            dzl = jnp.where(has_lb, -zl + _masked_div(mu - zl * dz, dzl_gap, has_lb) + 0.0, 0.0)
-            # primal-dual: dzl = -zl + (mu - zl*dz)/(z-lb)
-            dzu = jnp.where(has_ub, -zu + _masked_div(mu + zu * dz, dzu_gap, has_ub), 0.0)
+            alpha_max = ftb_primal(dz, mu)
 
-            bad = ~jnp.all(jnp.isfinite(jnp.concatenate([dz, dy, dzl, dzu])))
-
-            # fraction to boundary
-            tau = jnp.maximum(_TAU_MIN, 1.0 - mu)
-            a_l = jnp.where(has_lb & (dz < 0), -tau * dzl_gap / jnp.where(dz < 0, dz, -1.0), jnp.inf)
-            a_u = jnp.where(has_ub & (dz > 0), tau * dzu_gap / jnp.where(dz > 0, dz, 1.0), jnp.inf)
-            alpha_max = jnp.minimum(1.0, jnp.minimum(jnp.min(a_l, initial=jnp.inf),
-                                                     jnp.min(a_u, initial=jnp.inf)))
-            a_zl = jnp.where(has_lb & (dzl < 0), -tau * zl / jnp.where(dzl < 0, dzl, -1.0), jnp.inf)
-            a_zu = jnp.where(has_ub & (dzu < 0), -tau * zu / jnp.where(dzu < 0, dzu, -1.0), jnp.inf)
-            alpha_dual = jnp.minimum(1.0, jnp.minimum(jnp.min(a_zl, initial=jnp.inf),
-                                                      jnp.min(a_zu, initial=jnp.inf)))
-
-            # l1 merit line search
+            # l1 merit machinery
             nu = jnp.maximum(st.nu, 1.5 * jnp.max(jnp.abs(y + dy), initial=0.0) + 1e-4)
             c_norm = jnp.sum(jnp.abs(r_c))
             phi0 = barrier_phi(w, s, mu)
             psi0 = phi0 + nu * c_norm
-            # directional derivative of phi along dz
-            dphi = (gf @ dw) - jnp.sum(bgrad * dz)
+            dphi = (gf @ dw) - jnp.sum(bgrad * dz)   # directional derivative of phi
             dpsi = dphi - nu * c_norm
+
+            def merit(w_t, s_t):
+                return barrier_phi(w_t, s_t, mu) + nu * jnp.sum(jnp.abs(constraint_res(w_t, s_t)))
 
             # Near a KKT point the merit decrease falls below f64 roundoff and
             # Armijo would reject spuriously; take the full (fraction-to-
@@ -280,6 +321,47 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
             slack = 10.0 * eps_mach * (jnp.abs(psi0) + 1.0)
             near_opt = st.kkt0 < 1e-5
 
+            # --- full-step trial + second-order correction (Maratos fix;
+            # IPOPT's SOC, its eq. (27)): if the full step is rejected because
+            # constraint curvature spikes the merit, re-solve the same KKT
+            # system with the corrected residual c_soc = alpha*c + c(trial)
+            # and try the corrected direction at its own boundary cap.
+            ok_full = merit(w + alpha_max * dw, s + alpha_max * ds) <= (
+                psi0 + _ETA_LS * alpha_max * dpsi + slack)
+
+            if ng > 0:
+                c_trial = constraint_res(w + alpha_max * dw, s + alpha_max * ds)
+                c_soc = alpha_max * r_c + c_trial
+                rhs_c_soc = -c_soc + sinv * (y + bgrad_s)
+                sol_soc = jnp.linalg.solve(K, jnp.concatenate([rhs_w, rhs_c_soc]))
+                dw_soc = jnp.where(fixed_w, 0.0, sol_soc[:nw])
+                dy_soc = sol_soc[nw:]
+                ds_soc = jnp.where(fixed_s, 0.0, sinv * (dy_soc + y + bgrad_s))
+                a_soc = ftb_primal(jnp.concatenate([dw_soc, ds_soc]), mu)
+                ok_soc = (~ok_full) & (merit(w + a_soc * dw_soc, s + a_soc * ds_soc) <= (
+                    psi0 + _ETA_LS * a_soc * dpsi + slack))
+            else:
+                dw_soc, dy_soc, ds_soc = dw, dy, ds
+                a_soc = alpha_max
+                ok_soc = jnp.asarray(False)
+
+            use_soc = ok_soc & ~near_opt
+            dw = jnp.where(use_soc, dw_soc, dw)
+            dy = jnp.where(use_soc, dy_soc, dy)
+            ds = jnp.where(use_soc, ds_soc, ds)
+            dz = jnp.concatenate([dw, ds])
+            alpha_max = jnp.where(use_soc, a_soc, alpha_max)
+
+            dzl = jnp.where(has_lb, -zl + _masked_div(mu - zl * dz, dzl_gap, has_lb), 0.0)
+            dzu = jnp.where(has_ub, -zu + _masked_div(mu + zu * dz, dzu_gap, has_ub), 0.0)
+            bad = ~jnp.all(jnp.isfinite(jnp.concatenate([dz, dy, dzl, dzu])))
+
+            tau = jnp.maximum(_TAU_MIN, 1.0 - mu)
+            a_zl = jnp.where(has_lb & (dzl < 0), -tau * zl / jnp.where(dzl < 0, dzl, -1.0), jnp.inf)
+            a_zu = jnp.where(has_ub & (dzu < 0), -tau * zu / jnp.where(dzu < 0, dzu, -1.0), jnp.inf)
+            alpha_dual = jnp.minimum(1.0, jnp.minimum(jnp.min(a_zl, initial=jnp.inf),
+                                                      jnp.min(a_zu, initial=jnp.inf)))
+
             def ls_cond(carry):
                 j, accepted, _ = carry
                 return (~accepted) & (j < _MAX_BACKTRACK)
@@ -287,16 +369,14 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
             def ls_body(carry):
                 j, _, _ = carry
                 alpha = alpha_max * (0.5 ** j)
-                w_t = w + alpha * dw
-                s_t = s + alpha * ds
-                psi_t = barrier_phi(w_t, s_t, mu) + nu * jnp.sum(jnp.abs(constraint_res(w_t, s_t)))
+                psi_t = merit(w + alpha * dw, s + alpha * ds)
                 ok = psi_t <= psi0 + _ETA_LS * alpha * dpsi + slack
                 return (j + 1, ok, alpha)
 
-            _, accepted, alpha = lax.while_loop(ls_cond, ls_body, (jnp.asarray(0, jnp.int32),
-                                                                   near_opt,
-                                                                   alpha_max))
-            accepted = accepted | near_opt
+            _, accepted, alpha = lax.while_loop(
+                ls_cond, ls_body,
+                (jnp.asarray(0, jnp.int32), near_opt | ok_full | use_soc, alpha_max))
+            accepted = accepted | near_opt | ok_full | use_soc
             alpha = jnp.where(accepted, alpha, alpha_max * (0.5 ** _MAX_BACKTRACK))
             alpha = jnp.where(bad, 0.0, alpha)
 
@@ -328,6 +408,13 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
             )
             done_n = e_0 <= opts.tol
 
+            if opts.debug:
+                jax.debug.print(
+                    "it={it} mu={mu:.2e} a={a:.2e} ad={ad:.2e} amax={am:.2e} acc={acc} "
+                    "|dw|={ndw:.2e} nu={nu:.2e} dlt={d:.1e} kkt={k:.3e} feas={f:.2e}",
+                    it=st.it, mu=mu, a=alpha, ad=alpha_dual, am=alpha_max, acc=accepted,
+                    ndw=jnp.max(jnp.abs(dw)), nu=nu, d=delta_w, k=e_0, f=feas)
+
             new = _State(w=w_n, s=s_n, y=y_n, zl=zl_n, zu=zu_n, mu=mu_n, nu=nu,
                          delta=delta_n, it=st.it + 1, done=done_n, kkt0=e_0, feas=feas)
             # freeze lanes that already converged (relevant under vmap)
@@ -340,20 +427,31 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
 
         final = lax.while_loop(cond, body, state)
 
+        # unscaled constraint violation for the status decision (the
+        # infeasibility fallback semantics must not depend on scaling)
+        if ng > 0:
+            g_u = nlp.g(final.w, p)
+            feas_u = jnp.maximum(
+                jnp.max(jnp.maximum(g_u - ubg_u, 0.0), initial=0.0),
+                jnp.max(jnp.maximum(lbg_u - g_u, 0.0), initial=0.0),
+            )
+        else:
+            feas_u = jnp.zeros((), dtype=dtype)
+
         status = jnp.where(
             final.kkt0 <= opts.tol,
             STATUS_SOLVED,
-            jnp.where(final.feas <= opts.constr_viol_tol, STATUS_ACCEPTABLE, STATUS_INFEASIBLE),
+            jnp.where(feas_u <= opts.constr_viol_tol, STATUS_ACCEPTABLE, STATUS_INFEASIBLE),
         ).astype(jnp.int32)
 
         return IPMResult(
             w=final.w,
             f=nlp.f(final.w, p),
-            lam_g=final.y,
+            lam_g=final.y * sg / jnp.maximum(sf, 1e-300),  # unscale multipliers
             status=status,
             iters=final.it,
             kkt_err=final.kkt0,
-            feas_err=final.feas,
+            feas_err=feas_u,
         )
 
     return solve
