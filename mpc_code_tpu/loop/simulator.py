@@ -66,6 +66,12 @@ class ClosedLoop:
     """Build all solvers once from a config, then `run()` the loop."""
 
     def __init__(self, cfg: MPCConfig):
+        if cfg.ssjacid:
+            # auto-linearize the model at its identified steady state
+            # (MPC_code.py:84-91 -> SS_JAC_ID.ss_p_jac_id)
+            from mpc_code_tpu.ident import apply_ss_jac_id
+
+            cfg = apply_ss_jac_id(cfg)
         self.cfg = cfg
         self.model = build_model(cfg)
         self.plant = build_plant(cfg, self.model)
@@ -79,7 +85,14 @@ class ClosedLoop:
             f_obj = build_stage_cost(cfg.stage_cost)
             vfin = build_terminal_cost(cfg)
             self.target_spec = build_target(cfg, self.model, fss_obj)
-            self.ocp_spec = build_ocp(cfg, self.model, f_obj, vfin)
+            if cfg.Collocation:
+                from mpc_code_tpu.ocp.collocation import build_ocp_collocation
+
+                self.ocp_spec = build_ocp_collocation(cfg, self.model, f_obj, vfin)
+                self.stride = 3 * nx + nu   # nxuk (MPC_code.py:51)
+            else:
+                self.ocp_spec = build_ocp(cfg, self.model, f_obj, vfin)
+                self.stride = nx + nu
             self.target_solve = jax.jit(make_solver(self.target_spec.nlp, cfg.sol_opts_ss))
             self.ocp_solve = jax.jit(make_solver(self.ocp_spec.nlp, cfg.sol_opts_dyn))
             if cfg.Adaptation:
@@ -330,15 +343,23 @@ class ClosedLoop:
                 ubw = self.ocp_spec.ubw.copy()
                 lbw[:nx] = ubw[:nx] = xhat_k               # MPC_code.py:734
                 nw, ns = self.ocp_spec.nw, self.ocp_spec.ns
+                st = self.stride
                 if ksim == 0 or w_opt is None:
                     w_guess = np.zeros(nw)                 # MPC_code.py:740-756
+                    x0m = np.asarray(cfg.x0_m, float).reshape(-1)
                     for key in range(1, N + 1):
-                        w_guess[key * nxu - nu : key * nxu] = u_k
-                        w_guess[key * nxu : key * nxu + nx] = np.asarray(cfg.x0_m, float).reshape(-1)
-                    w_guess[:nx] = np.asarray(cfg.x0_m, float).reshape(-1)
+                        if cfg.Collocation:                # MPC_code.py:748-751
+                            w_guess[key * st - nu - 2 * nx : key * st - nu] = np.tile(x0m, 2)
+                        w_guess[key * st - nu : key * st] = u_k
+                        w_guess[key * st : key * st + nx] = x0m
+                    w_guess[:nx] = x0m
                 elif ocp_feasible:
-                    w_guess = np.concatenate([w_opt[nxu : nw - ns], us_prev, xs_prev,
-                                              w_opt[nw - ns : nw]])  # MPC_code.py:762-764
+                    if cfg.Collocation:                    # MPC_code.py:759-761
+                        w_guess = np.concatenate([w_opt[st : nw - ns], xs_prev, xs_prev,
+                                                  us_prev, xs_prev, w_opt[nw - ns : nw]])
+                    else:
+                        w_guess = np.concatenate([w_opt[st : nw - ns], us_prev, xs_prev,
+                                                  w_opt[nw - ns : nw]])  # MPC_code.py:762-764
                 par = dict(x0=jnp.asarray(xhat_k), xs=jnp.asarray(xs_k),
                            us=jnp.asarray(us_k), d=jnp.asarray(dhat_k),
                            um1=jnp.asarray(u_k), t=jnp.asarray(t_k, dtype=float),
@@ -353,8 +374,8 @@ class ClosedLoop:
                 ocp_feasible = status_dyn != STATUS_INFEASIBLE
                 if ocp_feasible:                           # MPC_code.py:786-800
                     w_opt = np.asarray(res.w)
-                    u_k = w_opt[nxu - nu : nxu]
-                    xhat_k = w_opt[nxu : nxu + nx]
+                    u_k = w_opt[st - nu : st]
+                    xhat_k = w_opt[st : st + nx]
                     if cfg.slacks:
                         H["Sl"].append(w_opt[nw - ns : nw].copy())
                 else:                                      # MPC_code.py:804-805

@@ -301,8 +301,13 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
             dz = jnp.concatenate([dw, ds])
             alpha_max = ftb_primal(dz, mu)
 
-            # l1 merit machinery
-            nu = jnp.maximum(st.nu, 1.5 * jnp.max(jnp.abs(y + dy), initial=0.0) + 1e-4)
+            # l1 merit machinery.  The penalty must dominate the current
+            # multiplier estimate, but a transiently huge estimate (e.g. the
+            # first iteration after an interior push against a violated
+            # bound) must not poison every later line search — so nu may
+            # decay geometrically instead of being monotone.
+            nu = jnp.maximum(1.5 * jnp.max(jnp.abs(y + dy), initial=0.0) + 1e-4,
+                             0.5 * st.nu)
             c_norm = jnp.sum(jnp.abs(r_c))
             phi0 = barrier_phi(w, s, mu)
             psi0 = phi0 + nu * c_norm
