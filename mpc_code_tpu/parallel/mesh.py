@@ -1,0 +1,86 @@
+"""Device-mesh utilities and the sharded batched closed loop.
+
+The reference is strictly serial single-process Python (SURVEY.md §2.4 —
+no distributed code exists to port).  The TPU-native scaling design:
+
+- **batch (data) parallelism** over independent MPC scenarios is the
+  natural axis: each scenario's solve chain is independent, so the batch is
+  sharded over ICI with `jax.sharding.NamedSharding(mesh, P('batch'))` and
+  XLA runs every lane without cross-chip communication inside the solve.
+- **cross-chip reductions** (`psum` via standard collectives under jit)
+  appear only for metric aggregation (convergence counters, benchmark
+  reductions).
+- **multi-host** runs initialize `jax.distributed` over DCN
+  (`init_distributed`) and use the same mesh spanning all processes.
+- **within-solve parallelism** across chips is deliberately out of scope at
+  reference problem sizes (N <= 50, nx <= 6; SURVEY.md §2.4(c)): the
+  horizon dimension is exploited on-chip (vmapped stages; Riccati
+  recursion), not across chips.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mpc_code_tpu.config import MPCConfig
+from mpc_code_tpu.loop.batched import MPCCarry, init_carry, make_mpc_step
+
+
+def init_distributed(**kw):
+    """Multi-host initialization over DCN (no-op if already initialized)."""
+    try:
+        jax.distributed.initialize(**kw)
+    except RuntimeError:
+        pass  # already initialized / single-process run
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "batch") -> Mesh:
+    devices = jax.devices()
+    n = n_devices if n_devices is not None else len(devices)
+    return Mesh(np.array(devices[:n]), (axis,))
+
+
+def shard_batch(tree, mesh: Mesh, axis: str = "batch"):
+    """Place every leaf's leading axis on the mesh's batch axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def batched_closed_loop(cfg: MPCConfig, x0_batch, n_steps: int,
+                        mesh: Optional[Mesh] = None, ysp=None, usp=None, xsp=None):
+    """Run `n_steps` of the full MPC loop for a batch of initial states,
+    vmapped over scenarios and (optionally) sharded over a mesh.
+
+    Returns (final_carry, outputs) with outputs leaves shaped
+    (n_steps, batch, ...).  This is the throughput/scaling workhorse: one
+    jit compiles estimator + target NLP + OCP NLP + plant step for every
+    scenario lane.
+    """
+    step = make_mpc_step(cfg, ysp=ysp, usp=usp, xsp=xsp)
+    vstep = jax.vmap(step)
+
+    def run(carry):
+        def body(c, _):
+            return vstep(c)
+
+        return lax.scan(body, carry, None, length=n_steps)
+
+    x0_batch = jnp.asarray(x0_batch)
+    B = x0_batch.shape[0]
+    carry0 = jax.vmap(lambda x0: init_carry(cfg, x0))(x0_batch)
+
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P("batch"))
+        carry0 = jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), carry0)
+        run = jax.jit(run, in_shardings=(jax.tree_util.tree_map(lambda _: sharding, carry0),),
+                      out_shardings=None)
+    else:
+        run = jax.jit(run)
+
+    return run(carry0)

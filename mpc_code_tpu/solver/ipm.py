@@ -44,14 +44,14 @@ from mpc_code_tpu.solver.nlp import (
 _INF = 1e18          # bounds beyond this are treated as absent (IPOPT: 1e19)
 _KAPPA_1 = 1e-2      # interior push (IPOPT kappa_1/kappa_2)
 _KAPPA_2 = 1e-2
-_KAPPA_SIGMA = 1e10  # dual safeguard corridor
+_KAPPA_SIGMA = 1e10  # dual safeguard corridor (f64; f32 uses 1e6)
 _KAPPA_EPS = 10.0    # barrier sufficient-progress factor
 _KAPPA_MU = 0.2      # linear mu decrease
 _THETA_MU = 1.5      # superlinear mu decrease
 _TAU_MIN = 0.99
 _ETA_LS = 1e-4       # Armijo constant
 _MAX_BACKTRACK = 25
-_DELTA_C = 1e-11     # constant dual regularization
+_DELTA_C = 1e-11     # constant dual regularization (f64; f32 uses 1e-6)
 
 
 class _State(NamedTuple):
@@ -108,6 +108,10 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
         fixed_s = (ubg_u - lbg_u) <= 0.0
 
         mu0 = jnp.asarray(opts.mu_init, dtype=dtype)
+        f32 = jnp.finfo(dtype).eps > 1e-10
+        tiny = 1e-30 if f32 else 1e-300
+        delta_c = 1e-6 if f32 else _DELTA_C
+        kappa_sigma = 1e6 if f32 else _KAPPA_SIGMA
 
         # --- interior initialization (IPOPT eq. (23)-(24) style push) ---
         def push_interior(z, lb, ub, has_lb, has_ub, fixed):
@@ -181,8 +185,8 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
 
         def barrier_phi(w, s, mu):
             z = jnp.concatenate([w, s])
-            tl = jnp.where(has_lb, jnp.log(jnp.where(has_lb, jnp.maximum(z - lb, 1e-300), 1.0)), 0.0)
-            tu = jnp.where(has_ub, jnp.log(jnp.where(has_ub, jnp.maximum(ub - z, 1e-300), 1.0)), 0.0)
+            tl = jnp.where(has_lb, jnp.log(jnp.where(has_lb, jnp.maximum(z - lb, tiny), 1.0)), 0.0)
+            tu = jnp.where(has_ub, jnp.log(jnp.where(has_ub, jnp.maximum(ub - z, tiny), 1.0)), 0.0)
             return sf * nlp.f(w, p) - mu * (jnp.sum(tl) + jnp.sum(tu))
 
         def constraint_res(w, s):
@@ -254,7 +258,7 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
             if ng > 0:
                 sinv = _masked_div(jnp.ones_like(sigma_s), sigma_s, (~fixed_s) & (sigma_s > 0))
                 Jm = jnp.where(free_w[None, :], J, 0.0)
-                dinv = 1.0 / (sinv + _DELTA_C)
+                dinv = 1.0 / (sinv + delta_c)
                 M_test = 0.5 * (Hbar + Hbar.T) + Jm.T @ (dinv[:, None] * Jm)
             else:
                 M_test = 0.5 * (Hbar + Hbar.T)
@@ -274,7 +278,7 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
             if ng > 0:
                 K = jnp.block([
                     [Hbar, Jm.T],
-                    [Jm, -jnp.diag(sinv + _DELTA_C)],
+                    [Jm, -jnp.diag(sinv + delta_c)],
                 ])
                 rhs_c = -r_c + sinv * (y + bgrad_s)
                 rhs = jnp.concatenate([rhs_w, rhs_c])
@@ -287,6 +291,9 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
                 ds = jnp.zeros(0, dtype=dtype)
 
             dw = jnp.where(fixed_w, 0.0, dw)
+            dw = jnp.nan_to_num(dw, nan=0.0, posinf=0.0, neginf=0.0)
+            ds = jnp.nan_to_num(ds, nan=0.0, posinf=0.0, neginf=0.0)
+            dy = jnp.nan_to_num(dy, nan=0.0, posinf=0.0, neginf=0.0)
 
             def ftb_primal(dz_v, mu_v):
                 """Fraction-to-boundary step cap for a primal direction."""
@@ -371,11 +378,22 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
                 j, accepted, _ = carry
                 return (~accepted) & (j < _MAX_BACKTRACK)
 
+            psi0_finite = jnp.isfinite(psi0)
+
+            def feas_norm_capped(w_t, s_t):
+                r = constraint_res(w_t, s_t)
+                return jnp.sum(jnp.abs(jnp.nan_to_num(r, posinf=1e30, neginf=-1e30)))
+
+            c0_capped = feas_norm_capped(w, s)
+
             def ls_body(carry):
                 j, _, _ = carry
                 alpha = alpha_max * (0.5 ** j)
                 psi_t = merit(w + alpha * dw, s + alpha * ds)
-                ok = psi_t <= psi0 + _ETA_LS * alpha * dpsi + slack
+                ok_merit = psi_t <= psi0 + _ETA_LS * alpha * dpsi + slack
+                # merit overflow (runaway dynamics): require feasibility decrease
+                ok_resto = feas_norm_capped(w + alpha * dw, s + alpha * ds) <= 0.99 * c0_capped
+                ok = jnp.where(psi0_finite, ok_merit, ok_resto)
                 return (j + 1, ok, alpha)
 
             _, accepted, alpha = lax.while_loop(
@@ -393,10 +411,10 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
 
             # dual safeguard corridor (IPOPT kappa_Sigma)
             z_n = jnp.concatenate([w_n, s_n])
-            gl = jnp.where(has_lb, jnp.maximum(z_n - lb, 1e-300), 1.0)
-            gu = jnp.where(has_ub, jnp.maximum(ub - z_n, 1e-300), 1.0)
-            zl_n = jnp.where(has_lb, jnp.clip(zl_n, mu / (_KAPPA_SIGMA * gl), _KAPPA_SIGMA * mu / gl), 0.0)
-            zu_n = jnp.where(has_ub, jnp.clip(zu_n, mu / (_KAPPA_SIGMA * gu), _KAPPA_SIGMA * mu / gu), 0.0)
+            gl = jnp.where(has_lb, jnp.maximum(z_n - lb, tiny), 1.0)
+            gu = jnp.where(has_ub, jnp.maximum(ub - z_n, tiny), 1.0)
+            zl_n = jnp.where(has_lb, jnp.clip(zl_n, mu / (kappa_sigma * gl), kappa_sigma * mu / gl), 0.0)
+            zu_n = jnp.where(has_ub, jnp.clip(zu_n, mu / (kappa_sigma * gu), kappa_sigma * mu / gu), 0.0)
 
             # regularization memory: grow when the step failed, decay otherwise
             delta_n = jnp.where(bad | ~accepted,
@@ -452,7 +470,7 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
         return IPMResult(
             w=final.w,
             f=nlp.f(final.w, p),
-            lam_g=final.y * sg / jnp.maximum(sf, 1e-300),  # unscale multipliers
+            lam_g=final.y * sg / jnp.maximum(sf, tiny),  # unscale multipliers
             status=status,
             iters=final.it,
             kkt_err=final.kkt0,

@@ -1,0 +1,712 @@
+"""Structure-exploiting interior-point solver for shooting OCPs.
+
+The dense IPM (`solver/ipm.py`) factors a (nw+ng)^2 KKT matrix — correct
+but O((nw+ng)^3) per iteration.  This module is the TPU fast path for the
+dominant workload (the dynamic OCP): the same primal-dual interior-point
+iteration, but with
+
+- **stagewise derivatives**: per-stage cost Hessians, dynamics Jacobians
+  (A_k, B_k) and inequality Jacobians via `vmap(jax.hessian/jacfwd)` over
+  the horizon — O(N * nz * stage) work instead of O(nw * rollout),
+- **Riccati-recursion KKT solves**: the barrier-condensed Newton system is
+  a discrete-time LQR whose block-tridiagonal factorization runs as a
+  `lax.scan` of (nz x nz) matrix ops — O(N * nz^3) instead of LU of the
+  full KKT (~300x fewer flops at N=50),
+- batched (N, nz, nz) tensor shapes that map onto the MXU when `vmap`ped
+  over scenario lanes.
+
+Scope: multiple-shooting OCPs without slacks/ContForm/collocation/terminal
+equality/user g-h (the bench and most closed-loop workloads); Delta-u
+bounds are supported via state augmentation with u_{k-1}.  The generic
+dense solver remains the fallback for everything else, and is the
+correctness oracle in tests.
+
+Reference context: replaces IPOPT+MUMPS sparse LU on the OCP NLP
+(Control_Calc.py:258) with dense block factorizations — better than sparse
+LU for small-stage OCPs and TPU-friendly (SURVEY.md §2.2 native table).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from mpc_code_tpu.config import MPCConfig, SolverOptions
+from mpc_code_tpu.models.model import ModelFns
+from mpc_code_tpu.solver.nlp import (
+    STATUS_ACCEPTABLE,
+    STATUS_INFEASIBLE,
+    STATUS_SOLVED,
+)
+
+_TAU_MIN = 0.99
+_ETA_LS = 1e-4
+_MAX_BACKTRACK = 20
+_KAPPA_EPS = 10.0
+_KAPPA_MU = 0.2
+_THETA_MU = 1.5
+
+
+@dataclass(frozen=True)
+class StructuredOCP:
+    """Stagewise OCP over augmented state xa (= x, or [x; u_prev])."""
+
+    N: int
+    nxa: int
+    nu: int
+    ni: int                     # general inequality rows per stage
+    dyn: Callable               # dyn(xa, u, k, p) -> xa_next
+    cost: Callable              # cost(xa, u, k, p) -> scalar
+    cost_N: Callable            # cost_N(xa, p) -> scalar
+    ineq: Optional[Callable]    # ineq(xa, u, k, p) -> (ni,)
+    lbi: np.ndarray             # (ni,)
+    ubi: np.ndarray
+    lbx: np.ndarray             # (nxa,) box for stages 1..N
+    ubx: np.ndarray
+    lbu: np.ndarray             # (nu,)
+    ubu: np.ndarray
+    x0_of_p: Callable           # p -> initial augmented state
+    sxa: np.ndarray             # per-variable scales (augmented state)
+    su: np.ndarray
+    si: np.ndarray
+
+
+class StructResult(NamedTuple):
+    X: jnp.ndarray      # (N+1, nxa)
+    U: jnp.ndarray      # (N, nu)
+    f: jnp.ndarray
+    status: jnp.ndarray
+    iters: jnp.ndarray
+    kkt_err: jnp.ndarray
+    feas_err: jnp.ndarray
+
+
+def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin) -> StructuredOCP:
+    """Map the reference OCP (opt_dyn form) onto the stagewise structure.
+
+    Uses the same parameter pytree as `build_ocp`:
+    {x0, xs, us, d, um1, t, lam, px (N,npx), py (N,npy)}.
+    """
+    if cfg.ContForm or cfg.Collocation or cfg.slacks or cfg.TermCons:
+        raise ValueError("structured path: unsupported OCP features")
+    if cfg.G_ineq is not None or cfg.H_eq is not None:
+        raise ValueError("structured path: user constraints unsupported")
+
+    nx, nu, ny = cfg.nx, cfg.nu, cfg.ny
+    b = cfg.bounds
+    du_bounds = not (b.Dumin is None and b.Dumax is None)
+    # state augmentation with u_{k-1} is needed whenever Delta-u appears in
+    # bounds OR in the cost (DUForm / DUFormEcon)
+    du_coupled = du_bounds or cfg.DUForm or cfg.DUFormEcon
+    ymin = b.resolved("dyn", "ymin")
+    ymax = b.resolved("dyn", "ymax")
+    y_free = ymin is None and ymax is None
+    xmin = b.resolved("dyn", "xmin")
+    xmax = b.resolved("dyn", "xmax")
+    umin = b.resolved("dyn", "umin")
+    umax = b.resolved("dyn", "umax")
+
+    nxa = nx + (nu if du_coupled else 0)
+    ni = (0 if y_free else ny) + (nu if du_bounds else 0)
+
+    def split(xa):
+        return (xa[:nx], xa[nx:]) if du_coupled else (xa, None)
+
+    def dyn(xa, u, k, p):
+        x, _ = split(xa)
+        xn = model.fx(x, u, cfg.h, p["d"], p["t"], p["px"][k])
+        return jnp.concatenate([xn, u]) if du_coupled else xn
+
+    def y_of(xa, u, k, p):
+        x, _ = split(xa)
+        return model.fy(x, u, p["d"], p["t"], p["py"][k]) + p["lam"] @ (u - p["us"])
+
+    def cost(xa, u, k, p):
+        x, _ = split(xa)
+        yk = y_of(xa, u, k, p)
+        ys = model.fy(p["xs"], p["us"], p["d"], p["t"], p["py"][0])
+        um1 = jnp.where(k == 0, p["um1"], split(xa)[1] if du_coupled else p["um1"])
+        du_k = u - um1
+        dx, du, dy = x, u, yk
+        if cfg.QForm:
+            dx = dx - p["xs"]
+            du = du - p["us"]
+            dy = dy - ys
+        if cfg.DUForm:
+            du = du_k
+        us_obj = du_k if cfg.DUFormEcon else p["us"]
+        return f_obj(dx, du, dy, p["xs"], us_obj, ys)
+
+    def cost_N(xa, p):
+        x, _ = split(xa)
+        dxN = x - p["xs"] if cfg.QForm else x
+        return vfin(dxN, p["xs"])
+
+    if ni:
+        def ineq(xa, u, k, p):
+            rows = []
+            if not y_free:
+                rows.append(y_of(xa, u, k, p))
+            if du_bounds:
+                um1 = jnp.where(k == 0, p["um1"], split(xa)[1])
+                rows.append(u - um1)
+            return jnp.concatenate(rows)
+    else:
+        ineq = None
+
+    lbi = np.concatenate(
+        ([] if y_free else [np.asarray(ymin if ymin is not None else np.full(ny, -np.inf))])
+        + ([np.asarray(b.Dumin if b.Dumin is not None else np.full(nu, -np.inf), float).reshape(-1)]
+           if du_bounds else [])) if ni else np.zeros(0)
+    ubi = np.concatenate(
+        ([] if y_free else [np.asarray(ymax if ymax is not None else np.full(ny, np.inf))])
+        + ([np.asarray(b.Dumax if b.Dumax is not None else np.full(nu, np.inf), float).reshape(-1)]
+           if du_bounds else [])) if ni else np.zeros(0)
+
+    lbx = np.concatenate([xmin if xmin is not None else np.full(nx, -np.inf),
+                          np.full(nu, -np.inf) if du_coupled else np.zeros(0)])
+    ubx = np.concatenate([xmax if xmax is not None else np.full(nx, np.inf),
+                          np.full(nu, np.inf) if du_coupled else np.zeros(0)])
+    lbu = np.asarray(umin, float).reshape(-1) if umin is not None else np.full(nu, -np.inf)
+    ubu = np.asarray(umax, float).reshape(-1) if umax is not None else np.full(nu, np.inf)
+
+    def x0_of_p(p):
+        return (jnp.concatenate([p["x0"], p["um1"]]) if du_coupled else p["x0"])
+
+    # --- per-variable scaling from the box bounds (f32-critical: the
+    # reference problems mix states ~1e2 with states ~1e-1).  Internally the
+    # solver works in scaled variables x~ = x / sxa; results are unscaled.
+    def _scales(lo, hi):
+        mag = np.maximum(np.abs(np.where(np.isfinite(lo), lo, 0.0)),
+                         np.abs(np.where(np.isfinite(hi), hi, 0.0)))
+        return np.where(mag > 1.0, mag, 1.0)
+
+    sxa = _scales(lbx, ubx)
+    su = _scales(lbu, ubu)
+    si = _scales(lbi, ubi)
+
+    sxa_j = jnp.asarray(sxa)
+    su_j = jnp.asarray(su)
+    si_j = jnp.asarray(si)
+
+    raw_dyn, raw_cost, raw_cost_N, raw_ineq, raw_x0 = dyn, cost, cost_N, ineq, x0_of_p
+
+    def dyn_s(xa, u, k, p):
+        return raw_dyn(sxa_j * xa, su_j * u, k, p) / sxa_j
+
+    def cost_s(xa, u, k, p):
+        return raw_cost(sxa_j * xa, su_j * u, k, p)
+
+    def cost_N_s(xa, p):
+        return raw_cost_N(sxa_j * xa, p)
+
+    if ineq is not None:
+        def ineq_s(xa, u, k, p):
+            return raw_ineq(sxa_j * xa, su_j * u, k, p) / si_j
+    else:
+        ineq_s = None
+
+    def x0_s(p):
+        return raw_x0(p) / sxa_j
+
+    return StructuredOCP(N=cfg.N, nxa=nxa, nu=nu, ni=ni, dyn=dyn_s, cost=cost_s,
+                         cost_N=cost_N_s, ineq=ineq_s,
+                         lbi=lbi / si, ubi=ubi / si,
+                         lbx=lbx / sxa, ubx=ubx / sxa,
+                         lbu=lbu / su, ubu=ubu / su,
+                         x0_of_p=x0_s, sxa=sxa, su=su, si=si)
+
+
+class _SState(NamedTuple):
+    X: jnp.ndarray      # (N+1, nxa) — X[0] pinned
+    U: jnp.ndarray      # (N, nu)
+    S: jnp.ndarray      # (N, ni) slacks
+    lam: jnp.ndarray    # (N, nxa) defect multipliers
+    nus: jnp.ndarray    # (N, ni) inequality multipliers
+    zlx: jnp.ndarray    # (N+1, nxa) bound duals (row 0 inert)
+    zux: jnp.ndarray
+    zlu: jnp.ndarray    # (N, nu)
+    zuu: jnp.ndarray
+    zls: jnp.ndarray    # (N, ni)
+    zus: jnp.ndarray
+    mu: jnp.ndarray
+    nu_pen: jnp.ndarray
+    delta: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+    kkt0: jnp.ndarray
+    feas: jnp.ndarray
+
+
+def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions()) -> Callable:
+    """Build ``solve(p, X0, U0) -> StructResult`` (jit/vmap friendly).
+
+    X0 (N+1, nxa), U0 (N, nu) warm starts; X0[0] is overwritten by the
+    pinned initial state from p.
+    """
+    N, nxa, nu, ni = s.N, s.nxa, s.nu, s.ni
+    nz = nxa + nu
+
+    # stage derivative builders (vmapped over the horizon)
+    def _cost(xa, u, k, p):
+        return p["_sf"] * s.cost(xa, u, k, p)
+
+    def _cost_N(xa, p):
+        return p["_sf"] * s.cost_N(xa, p)
+
+    def stage_lagrangian(xa, u, k, p, lam_k, nu_k):
+        val = _cost(xa, u, k, p) + lam_k @ s.dyn(xa, u, k, p)
+        if ni:
+            val = val + nu_k @ s.ineq(xa, u, k, p)
+        return val
+
+    def stage_derivs(xa, u, k, p, lam_k, nu_k):
+        z = jnp.concatenate([xa, u])
+
+        def L_of_z(zz):
+            return stage_lagrangian(zz[:nxa], zz[nxa:], k, p, lam_k, nu_k)
+
+        H = jax.hessian(L_of_z)(z)
+
+        def c_of_z(zz):
+            return _cost(zz[:nxa], zz[nxa:], k, p)
+
+        gc = jax.grad(c_of_z)(z)
+        Ad = jax.jacfwd(lambda xx: s.dyn(xx, u, k, p))(xa)
+        Bd = jax.jacfwd(lambda uu: s.dyn(xa, uu, k, p))(u)
+        if ni:
+            E = jax.jacfwd(lambda zz: s.ineq(zz[:nxa], zz[nxa:], k, p))(z)
+            ival = s.ineq(xa, u, k, p)
+        else:
+            E = jnp.zeros((0, nz))
+            ival = jnp.zeros(0)
+        return H, gc, Ad, Bd, E, ival
+
+    v_stage = jax.vmap(stage_derivs, in_axes=(0, 0, 0, None, 0, 0))
+    ks = jnp.arange(N)
+
+    def _mdiv(num, den, mask):
+        return jnp.where(mask, num / jnp.where(mask, den, 1.0), 0.0)
+
+    def solve(p, X0, U0) -> StructResult:
+        dtype = jnp.result_type(jnp.asarray(U0).dtype, jnp.float32)
+        f32 = jnp.finfo(dtype).eps > 1e-10
+        tiny = 1e-30 if f32 else 1e-300
+
+        lbx = jnp.asarray(s.lbx, dtype=dtype)
+        ubx = jnp.asarray(s.ubx, dtype=dtype)
+        lbu = jnp.asarray(s.lbu, dtype=dtype)
+        ubu = jnp.asarray(s.ubu, dtype=dtype)
+        lbi = jnp.asarray(s.lbi, dtype=dtype)
+        ubi = jnp.asarray(s.ubi, dtype=dtype)
+        INF = 1e18
+        hlx = lbx > -INF
+        hux = ubx < INF
+        hlu = lbu > -INF
+        huu = ubu < INF
+        hli = lbi > -INF
+        hui = ubi < INF
+
+        x0a = s.x0_of_p(p).astype(dtype)
+        mu0 = jnp.asarray(opts.mu_init, dtype=dtype)
+        sxa_j = jnp.asarray(s.sxa, dtype=dtype)
+        su_j = jnp.asarray(s.su, dtype=dtype)
+
+        def push(z, lb, ub, hl, hu):
+            pl = jnp.minimum(1e-2 * jnp.maximum(1.0, jnp.abs(lb)),
+                             1e-2 * jnp.where(hu, ub - lb, jnp.inf))
+            pu = jnp.minimum(1e-2 * jnp.maximum(1.0, jnp.abs(ub)),
+                             1e-2 * jnp.where(hl, ub - lb, jnp.inf))
+            zlo = jnp.where(hl, lb + pl, -jnp.inf)
+            zhi = jnp.where(hu, ub - pu, jnp.inf)
+            return jnp.clip(z, zlo, zhi)
+
+        # warm starts arrive in user units; work internally in scaled units
+        X0 = jnp.nan_to_num(jnp.asarray(X0, dtype=dtype), nan=0.0, posinf=0.0, neginf=0.0)
+        U0 = jnp.nan_to_num(jnp.asarray(U0, dtype=dtype), nan=0.0, posinf=0.0, neginf=0.0)
+        X_init = X0 / sxa_j
+        X_init = X_init.at[1:].set(push(X_init[1:], lbx, ubx, hlx, hux))
+        X_init = X_init.at[0].set(x0a)
+        U_init = push(jnp.asarray(U0, dtype=dtype) / su_j, lbu, ubu, hlu, huu)
+        # gradient-based objective scaling (IPOPT gmax=100 analog)
+        p_unit = {**p, "_sf": jnp.asarray(1.0, dtype=dtype)}
+
+        def _c0(zz, k):
+            return s.cost(zz[:nxa], zz[nxa:], k, p)
+
+        g0 = jax.vmap(jax.grad(_c0), in_axes=(0, 0))(
+            jnp.concatenate([X_init[:N], U_init], axis=1), ks)
+        gN0 = jax.grad(lambda xx: s.cost_N(xx, p))(X_init[N])
+        gmax0 = jnp.maximum(jnp.max(jnp.abs(g0), initial=0.0),
+                            jnp.max(jnp.abs(gN0), initial=0.0))
+        sf = jnp.minimum(1.0, 100.0 / jnp.maximum(gmax0, 1e-8)).astype(dtype)
+        p = {**p, "_sf": sf}
+
+        if ni:
+            i0 = jax.vmap(s.ineq, in_axes=(0, 0, 0, None))(X_init[:N], U_init, ks, p)
+            S_init = push(i0, lbi, ubi, hli, hui)
+        else:
+            S_init = jnp.zeros((N, 0), dtype=dtype)
+
+        def dual_init(z, lb, ub, hl, hu):
+            zl = jnp.where(hl, jnp.clip(mu0 / jnp.where(hl, z - lb, 1.0), 1e-8, 1e8), 0.0)
+            zu = jnp.where(hu, jnp.clip(mu0 / jnp.where(hu, ub - z, 1.0), 1e-8, 1e8), 0.0)
+            return zl, zu
+
+        zlx0, zux0 = dual_init(X_init, lbx, ubx, hlx, hux)
+        zlx0 = zlx0.at[0].set(0.0)
+        zux0 = zux0.at[0].set(0.0)
+        zlu0, zuu0 = dual_init(U_init, lbu, ubu, hlu, huu)
+        zls0, zus0 = dual_init(S_init, lbi, ubi, hli, hui)
+
+        st0 = _SState(
+            X=X_init, U=U_init, S=S_init,
+            lam=jnp.zeros((N, nxa), dtype=dtype),
+            nus=jnp.zeros((N, ni), dtype=dtype),
+            zlx=zlx0, zux=zux0, zlu=zlu0, zuu=zuu0, zls=zls0, zus=zus0,
+            mu=mu0, nu_pen=jnp.asarray(1.0, dtype=dtype),
+            delta=jnp.asarray(0.0, dtype=dtype),
+            it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
+            kkt0=jnp.asarray(jnp.inf, dtype=dtype),
+            feas=jnp.asarray(jnp.inf, dtype=dtype),
+        )
+
+        def residuals(X, U, S):
+            Xn = jax.vmap(s.dyn, in_axes=(0, 0, 0, None))(X[:N], U, ks, p)
+            r_d = Xn - X[1:]
+            if ni:
+                r_i = jax.vmap(s.ineq, in_axes=(0, 0, 0, None))(X[:N], U, ks, p) - S
+            else:
+                r_i = jnp.zeros((N, 0), dtype=dtype)
+            return r_d, r_i
+
+        def total_cost(X, U):
+            cs = jax.vmap(_cost, in_axes=(0, 0, 0, None))(X[:N], U, ks, p)
+            return jnp.sum(cs) + _cost_N(X[N], p)
+
+        def barrier_phi(X, U, S, mu):
+            def terms(z, lb, ub, hl, hu):
+                tl = jnp.where(hl, jnp.log(jnp.maximum(jnp.where(hl, z - lb, 1.0), tiny)), 0.0)
+                tu = jnp.where(hu, jnp.log(jnp.maximum(jnp.where(hu, ub - z, 1.0), tiny)), 0.0)
+                return jnp.sum(tl) + jnp.sum(tu)
+
+            bar = terms(X[1:], lbx, ubx, hlx, hux) + terms(U, lbu, ubu, hlu, huu)
+            if ni:
+                bar = bar + terms(S, lbi, ubi, hli, hui)
+            return total_cost(X, U) - mu * bar
+
+        def body(st: _SState) -> _SState:
+            X, U, S, mu = st.X, st.U, st.S, st.mu
+            H, gc, A, B, E, ival = v_stage(X[:N], U, ks, p, st.lam, st.nus)
+            r_d, r_i = residuals(X, U, S)
+
+            # barrier sigma/gradients for X (stages 1..N), U, S
+            def sig(z, zl, zu, lb, ub, hl, hu):
+                sl = _mdiv(zl, z - lb, hl)
+                su = _mdiv(zu, ub - z, hu)
+                bg = _mdiv(mu * jnp.ones_like(z), z - lb, hl) - _mdiv(
+                    mu * jnp.ones_like(z), ub - z, hu)
+                return sl + su, bg
+
+            sigX, bgX = sig(X, st.zlx, st.zux, lbx, ubx, hlx, hux)   # (N+1, nxa)
+            sigX = sigX.at[0].set(0.0)
+            bgX = bgX.at[0].set(0.0)
+            sigU, bgU = sig(U, st.zlu, st.zuu, lbu, ubu, hlu, huu)
+            if ni:
+                sigS, bgS = sig(S, st.zls, st.zus, lbi, ubi, hli, hui)
+                sigS = jnp.maximum(sigS, 1e-12)
+            else:
+                sigS = jnp.zeros((N, 0), dtype=dtype)
+                bgS = sigS
+
+            # slack/inequality elimination:
+            #   ds = E dz + r_i ;  dnu = sigS*(E dz + r_i) - (bgS + nus)... sign:
+            # stationarity of S: -nu - zls + zus = 0 -> rhs_s = nus + bgS
+            # dnu = sigS * ds - (nus + bgS) + ... (primal-dual elimination)
+            if ni:
+                Hs = H + jnp.einsum("kia,ki,kib->kab", E, sigS, E)
+                # E' (Sigma_s r_i - bg_s): inequality elimination gradient
+                g_extra = jnp.einsum("kia,ki->ka", E, sigS * r_i - bgS)
+            else:
+                Hs = H
+                g_extra = jnp.zeros((N, nz), dtype=dtype)
+
+            # assemble stage gradient q_k = dcost - bgrad + E-term
+            q = gc + g_extra
+            q = q.at[:, :nxa].add(-bgX[:N])
+            q = q.at[:, nxa:].add(-bgU)
+            # stage Hessian with bound sigmas
+            Hs = Hs.at[:, :nxa, :nxa].add(jax.vmap(jnp.diag)(sigX[:N]))
+            Hs = Hs.at[:, nxa:, nxa:].add(jax.vmap(jnp.diag)(sigU))
+
+            # terminal block
+            PN_h = jax.hessian(lambda xx: _cost_N(xx, p))(X[N])
+            pN_g = jax.grad(lambda xx: _cost_N(xx, p))(X[N]) - bgX[N]
+            PN_h = PN_h + jnp.diag(sigX[N])
+
+            # --- Riccati backward recursion with delta ladder on Quu ---
+            def backward(delta):
+                def bk(carry, inp):
+                    P, pv, ok = carry
+                    Hk, qk, Ak, Bk, rdk = inp
+                    Qxx = Hk[:nxa, :nxa] + Ak.T @ P @ Ak
+                    Quu = Hk[nxa:, nxa:] + Bk.T @ P @ Bk + delta * jnp.eye(nu, dtype=dtype)
+                    Qxu = Hk[:nxa, nxa:] + Ak.T @ P @ Bk
+                    Pr = pv + P @ rdk
+                    qx = qk[:nxa] + Ak.T @ Pr
+                    qu = qk[nxa:] + Bk.T @ Pr
+                    L = jnp.linalg.cholesky(Quu)
+                    ok = ok & jnp.all(jnp.isfinite(L))
+                    Kk = -jax.scipy.linalg.cho_solve((L, True), Qxu.T)
+                    kk = -jax.scipy.linalg.cho_solve((L, True), qu)
+                    P_new = Qxx + Qxu @ Kk
+                    P_new = 0.5 * (P_new + P_new.T)
+                    p_new = qx + Qxu @ kk
+                    # emit the value function of the *next* stage (P, pv):
+                    # lam_k = P_{k+1} dx_{k+1} + p_{k+1}
+                    return (P_new, p_new, ok), (Kk, kk, P, pv)
+
+                (P0f, p0f, ok), (Ks, kf, P_seq, p_seq) = lax.scan(
+                    bk, (PN_h, pN_g, jnp.asarray(True)),
+                    (Hs, q, A, B, r_d), reverse=True)
+                return ok, Ks, kf, P_seq, p_seq
+
+            # one backward pass at the carried regularization; a failed
+            # factorization skips this iteration and bumps delta (cheaper
+            # than a multi-delta ladder every iteration — the Quu blocks are
+            # PD almost always on these problems)
+            solvable, Ks, kf, P_seq, p_seq = backward(st.delta)
+
+            # forward rollout of the Newton step
+            def fwd(dx, inp):
+                Kk, kk, Ak, Bk, rdk = inp
+                du = kk + Kk @ dx
+                dx_next = Ak @ dx + Bk @ du + rdk
+                return dx_next, (dx, du)
+
+            dxN_last, (dX_head, dU) = lax.scan(
+                fwd, jnp.zeros(nxa, dtype=dtype), (Ks, kf, A, B, r_d))
+            dX = jnp.concatenate([dX_head, dxN_last[None]], axis=0)  # (N+1, nxa)
+            dX = jnp.nan_to_num(dX, nan=0.0, posinf=0.0, neginf=0.0)
+            dU = jnp.nan_to_num(dU, nan=0.0, posinf=0.0, neginf=0.0)
+
+            if ni:
+                dS = jnp.einsum("kia,ka->ki", E,
+                                jnp.concatenate([dX[:N], dU], axis=1)) + r_i
+                # eliminated inequality multipliers (primal-dual):
+                dnu = sigS * dS - (st.nus + bgS)
+                dnu = jnp.nan_to_num(dnu, nan=0.0, posinf=0.0, neginf=0.0)
+            else:
+                dS = jnp.zeros((N, 0), dtype=dtype)
+                dnu = dS
+
+            # defect multipliers from the value-function sequence:
+            # lam_k = P_{k+1} dx_{k+1} + p_{k+1}
+            lam_new = jnp.einsum("kab,kb->ka", P_seq, dX[1:]) + p_seq
+            lam_new = jnp.nan_to_num(lam_new, nan=0.0, posinf=0.0, neginf=0.0)
+            lam_new = jnp.where(solvable, lam_new, st.lam)
+
+            dlam = lam_new - st.lam
+
+            # --- fraction to boundary + merit line search ---
+            tau = jnp.maximum(_TAU_MIN, 1.0 - mu)
+
+            def ftb(z, dz, lb, ub, hl, hu):
+                al = jnp.where(hl & (dz < 0), -tau * (z - lb) / jnp.where(dz < 0, dz, -1.0), jnp.inf)
+                au = jnp.where(hu & (dz > 0), tau * (ub - z) / jnp.where(dz > 0, dz, 1.0), jnp.inf)
+                return jnp.minimum(jnp.min(al, initial=jnp.inf), jnp.min(au, initial=jnp.inf))
+
+            a1 = ftb(X[1:], dX[1:], lbx, ubx, hlx, hux)
+            a2 = ftb(U, dU, lbu, ubu, hlu, huu)
+            a3 = ftb(S, dS, lbi, ubi, hli, hui) if ni else jnp.inf
+            alpha_max = jnp.minimum(1.0, jnp.minimum(a1, jnp.minimum(a2, a3)))
+
+            # dual steps
+            def dz_duals(z, dz, zl, zu, lb, ub, hl, hu):
+                dzl = jnp.where(hl, -zl + _mdiv(mu - zl * dz, z - lb, hl), 0.0)
+                dzu = jnp.where(hu, -zu + _mdiv(mu + zu * dz, ub - z, hu), 0.0)
+                return dzl, dzu
+
+            dzlx, dzux = dz_duals(X, dX, st.zlx, st.zux, lbx, ubx, hlx, hux)
+            dzlx = dzlx.at[0].set(0.0)
+            dzux = dzux.at[0].set(0.0)
+            dzlu, dzuu = dz_duals(U, dU, st.zlu, st.zuu, lbu, ubu, hlu, huu)
+            dzls, dzus = dz_duals(S, dS, st.zls, st.zus, lbi, ubi, hli, hui)
+
+            def ftb_dual(zl, dzl):
+                return jnp.where(dzl < 0, -tau * zl / jnp.where(dzl < 0, dzl, -1.0), jnp.inf)
+
+            ad = jnp.minimum(1.0, jnp.minimum(
+                jnp.minimum(jnp.min(ftb_dual(st.zlx, dzlx), initial=jnp.inf),
+                            jnp.min(ftb_dual(st.zux, dzux), initial=jnp.inf)),
+                jnp.minimum(
+                    jnp.minimum(jnp.min(ftb_dual(st.zlu, dzlu), initial=jnp.inf),
+                                jnp.min(ftb_dual(st.zuu, dzuu), initial=jnp.inf)),
+                    jnp.minimum(jnp.min(ftb_dual(st.zls, dzls), initial=jnp.inf),
+                                jnp.min(ftb_dual(st.zus, dzus), initial=jnp.inf)))))
+
+            c_norm = jnp.sum(jnp.abs(r_d)) + jnp.sum(jnp.abs(r_i))
+            lam_inf = jnp.maximum(jnp.max(jnp.abs(lam_new), initial=0.0),
+                                  jnp.max(jnp.abs(st.nus + dnu), initial=0.0))
+            nu_pen = jnp.maximum(1.5 * lam_inf + 1e-4, 0.5 * st.nu_pen)
+            phi0 = barrier_phi(X, U, S, mu)
+            psi0 = phi0 + nu_pen * c_norm
+            # directional derivative (gradient of phi along step)
+            dphi = (jnp.sum((q - g_extra) * jnp.concatenate([dX[:N], dU], axis=1))
+                    + pN_g @ dX[N] - (jnp.sum(bgS * dS) if ni else 0.0))
+            dpsi = dphi - nu_pen * c_norm
+            eps_mach = jnp.finfo(dtype).eps
+            slack_tol = 10.0 * eps_mach * (jnp.abs(psi0) + 1.0)
+            near_opt = st.kkt0 < 1e-5
+
+            def merit(a):
+                Xt = X.at[1:].add(a * dX[1:])
+                Ut = U + a * dU
+                St = S + a * dS
+                rd_t, ri_t = residuals(Xt, Ut, St)
+                return barrier_phi(Xt, Ut, St, mu) + nu_pen * (
+                    jnp.sum(jnp.abs(rd_t)) + jnp.sum(jnp.abs(ri_t)))
+
+            def ls_cond(c):
+                j, acc, _ = c
+                return (~acc) & (j < _MAX_BACKTRACK)
+
+            # when the merit overflows (runaway dynamics), fall back to a
+            # pure feasibility-reduction test instead of accepting anything
+            psi0_finite = jnp.isfinite(psi0)
+
+            def feas_norm(a):
+                rd_t, ri_t = residuals(X.at[1:].add(a * dX[1:]), U + a * dU, S + a * dS)
+                return jnp.sum(jnp.abs(jnp.nan_to_num(rd_t, posinf=1e30, neginf=-1e30))) + \
+                    jnp.sum(jnp.abs(jnp.nan_to_num(ri_t, posinf=1e30, neginf=-1e30)))
+
+            c_norm_capped = feas_norm(0.0)
+
+            def ls_body(c):
+                j, _, _ = c
+                a = alpha_max * (0.5 ** j)
+                ok_merit = merit(a) <= psi0 + _ETA_LS * a * dpsi + slack_tol
+                ok_resto = feas_norm(a) <= 0.99 * c_norm_capped
+                ok = jnp.where(psi0_finite, ok_merit, ok_resto)
+                return (j + 1, ok, a)
+
+            _, accepted, alpha = lax.while_loop(
+                ls_cond, ls_body, (jnp.asarray(0, jnp.int32), near_opt, alpha_max))
+            accepted = accepted | near_opt
+            alpha = jnp.where(accepted, alpha, alpha_max * (0.5 ** _MAX_BACKTRACK))
+            alpha = jnp.where(solvable, alpha, 0.0)
+            delta_n = jnp.where(solvable,
+                                jnp.maximum(st.delta / 3.0, 0.0) * (st.delta > 1e-9),
+                                jnp.maximum(st.delta * 10.0, 1e-6))
+
+            X_n = X.at[1:].add(alpha * dX[1:])
+            U_n = U + alpha * dU
+            S_n = S + alpha * dS
+            lam_n = st.lam + alpha * dlam
+            nus_n = st.nus + alpha * dnu
+
+            def upd_duals(z_n, zl, zu, dzl, dzu, lb, ub, hl, hu):
+                zl_n = zl + ad * dzl
+                zu_n = zu + ad * dzu
+                ks_sig = 1e6 if f32 else 1e10
+                gl = jnp.maximum(jnp.where(hl, z_n - lb, 1.0), tiny)
+                gu = jnp.maximum(jnp.where(hu, ub - z_n, 1.0), tiny)
+                zl_n = jnp.where(hl, jnp.clip(zl_n, mu / (ks_sig * gl), ks_sig * mu / gl), 0.0)
+                zu_n = jnp.where(hu, jnp.clip(zu_n, mu / (ks_sig * gu), ks_sig * mu / gu), 0.0)
+                return zl_n, zu_n
+
+            zlx_n, zux_n = upd_duals(X_n, st.zlx, st.zux, dzlx, dzux, lbx, ubx, hlx, hux)
+            zlx_n = zlx_n.at[0].set(0.0)
+            zux_n = zux_n.at[0].set(0.0)
+            zlu_n, zuu_n = upd_duals(U_n, st.zlu, st.zuu, dzlu, dzuu, lbu, ubu, hlu, huu)
+            zls_n, zus_n = upd_duals(S_n, st.zls, st.zus, dzls, dzus, lbi, ubi, hli, hui)
+
+            # KKT errors at the new point
+            H2, gc2, A2, B2, E2, _ = v_stage(X_n[:N], U_n, ks, p, lam_n, nus_n)
+            rd2, ri2 = residuals(X_n, U_n, S_n)
+
+            # stationarity via autodiff of the full Lagrangian wrt X[1:], U
+            def lagr_all(Xv, Uv):
+                cs = jnp.sum(jax.vmap(_cost, in_axes=(0, 0, 0, None))(Xv[:N], Uv, ks, p))
+                cs = cs + _cost_N(Xv[N], p)
+                Xn2 = jax.vmap(s.dyn, in_axes=(0, 0, 0, None))(Xv[:N], Uv, ks, p)
+                cs = cs + jnp.sum(lam_n * (Xn2 - Xv[1:]))
+                if ni:
+                    iv = jax.vmap(s.ineq, in_axes=(0, 0, 0, None))(Xv[:N], Uv, ks, p)
+                    cs = cs + jnp.sum(nus_n * iv)
+                return cs
+
+            gX, gU = jax.grad(lagr_all, argnums=(0, 1))(X_n, U_n)
+            rx = gX[1:] - (zlx_n[1:] - zux_n[1:])
+            ru = gU - (zlu_n - zuu_n)
+            rs = -nus_n - (zls_n - zus_n) if ni else jnp.zeros((N, 0), dtype=dtype)
+
+            def comp(z, zl, zu, lb, ub, hl, hu, mu_v):
+                cl = jnp.where(hl, (z - lb) * zl - mu_v, 0.0)
+                cu = jnp.where(hu, (ub - z) * zu - mu_v, 0.0)
+                return jnp.maximum(jnp.max(jnp.abs(cl), initial=0.0),
+                                   jnp.max(jnp.abs(cu), initial=0.0))
+
+            def kkt_at(mu_v):
+                e_stat = jnp.maximum(jnp.max(jnp.abs(rx), initial=0.0),
+                                     jnp.maximum(jnp.max(jnp.abs(ru), initial=0.0),
+                                                 jnp.max(jnp.abs(rs), initial=0.0)))
+                e_feas = jnp.maximum(jnp.max(jnp.abs(rd2), initial=0.0),
+                                     jnp.max(jnp.abs(ri2), initial=0.0))
+                e_comp = jnp.maximum(
+                    comp(X_n[1:], zlx_n[1:], zux_n[1:], lbx, ubx, hlx, hux, mu_v),
+                    jnp.maximum(comp(U_n, zlu_n, zuu_n, lbu, ubu, hlu, huu, mu_v),
+                                comp(S_n, zls_n, zus_n, lbi, ubi, hli, hui, mu_v)
+                                if ni else 0.0))
+                scale = jnp.maximum(100.0, (jnp.sum(jnp.abs(lam_n)) + jnp.sum(jnp.abs(nus_n))
+                                            + jnp.sum(zlx_n + zux_n) + jnp.sum(zlu_n + zuu_n)
+                                            + jnp.sum(zls_n + zus_n))
+                                    / (N * (nz + ni) + nxa + 1.0)) / 100.0
+                return jnp.maximum(e_stat / scale, jnp.maximum(e_feas, e_comp / scale)), e_feas
+
+            e_mu, _ = kkt_at(mu)
+            e_0, feas = kkt_at(jnp.zeros_like(mu))
+
+            mu_n = jnp.where(e_mu <= _KAPPA_EPS * mu,
+                             jnp.maximum(opts.tol / 10.0,
+                                         jnp.minimum(_KAPPA_MU * mu, mu ** _THETA_MU)),
+                             mu)
+            done_n = e_0 <= opts.tol
+
+            if opts.debug:
+                jax.debug.print(
+                    "it={it} mu={mu:.2e} a={a:.2e} amax={am:.2e} acc={acc} slv={slv} "
+                    "|dX|={ndx:.2e} |dU|={ndu:.2e} nupen={np:.2e} psi0={p0:.3e} "
+                    "kkt={k:.3e} feas={f:.2e}",
+                    it=st.it, mu=mu, a=alpha, am=alpha_max, acc=accepted, slv=solvable,
+                    ndx=jnp.max(jnp.abs(dX)), ndu=jnp.max(jnp.abs(dU)),
+                    np=nu_pen, p0=psi0, k=e_0, f=feas)
+
+            new = _SState(X=X_n, U=U_n, S=S_n, lam=lam_n, nus=nus_n,
+                          zlx=zlx_n, zux=zux_n, zlu=zlu_n, zuu=zuu_n,
+                          zls=zls_n, zus=zus_n, mu=mu_n, nu_pen=nu_pen,
+                          delta=delta_n, it=st.it + 1, done=done_n,
+                          kkt0=e_0, feas=feas)
+            return jax.tree_util.tree_map(
+                lambda o, nn: jnp.where(st.done, o, nn), st, new)
+
+        def cond(st):
+            return (~st.done) & (st.it < opts.max_iter)
+
+        fin = lax.while_loop(cond, body, st0)
+        status = jnp.where(fin.kkt0 <= opts.tol, STATUS_SOLVED,
+                           jnp.where(fin.feas <= opts.constr_viol_tol,
+                                     STATUS_ACCEPTABLE, STATUS_INFEASIBLE)).astype(jnp.int32)
+        p1 = {**p, "_sf": jnp.asarray(1.0, dtype=dtype)}
+        cs = jax.vmap(s.cost, in_axes=(0, 0, 0, None))(fin.X[:N], fin.U, ks, p1)
+        f_val = jnp.sum(cs) + s.cost_N(fin.X[N], p1)
+        return StructResult(X=fin.X * sxa_j, U=fin.U * su_j, f=f_val,
+                            status=status, iters=fin.it, kkt_err=fin.kkt0,
+                            feas_err=fin.feas)
+
+    return solve

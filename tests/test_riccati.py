@@ -1,0 +1,122 @@
+"""Structured (Riccati) solver vs dense IPM oracle (SURVEY.md §4 item 2:
+Riccati-recursion solve vs dense-KKT solve)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_code_tpu.config import SolverOptions
+from mpc_code_tpu.models import build_model, build_stage_cost, build_terminal_cost
+from mpc_code_tpu.ocp.shooting import build_ocp
+from mpc_code_tpu.solver.ipm import make_solver
+from mpc_code_tpu.solver.riccati import build_structured_ocp, make_structured_solver
+
+
+def _setup(N=12):
+    from mpc_code_tpu.examples.nmpc import make_config
+
+    cfg = make_config().replace(N=N, R_wn=None)
+    model = build_model(cfg)
+    f_obj = build_stage_cost(cfg.stage_cost)
+    vfin = build_terminal_cost(cfg)
+    return cfg, model, f_obj, vfin
+
+
+def _par(cfg, N, x0):
+    xs = np.array([0.874317, 325.0, 0.6528])
+    us = np.array([300.157, 0.1])
+    return dict(x0=jnp.asarray(x0), xs=jnp.asarray(xs), us=jnp.asarray(us),
+                d=jnp.asarray([0.0, 0.1]), um1=jnp.asarray(us), t=jnp.asarray(0.0),
+                lam=jnp.zeros((cfg.ny, cfg.nu)), px=jnp.zeros((N, cfg.npx)),
+                py=jnp.zeros((N, cfg.npy))), us
+
+
+def test_structured_matches_dense_on_cstr():
+    N = 12
+    cfg, model, f_obj, vfin = _setup(N)
+    spec = build_ocp(cfg, model, f_obj, vfin)
+    dense = jax.jit(make_solver(spec.nlp, SolverOptions(max_iter=100)))
+    socp = build_structured_ocp(cfg, model, f_obj, vfin)
+    struct = jax.jit(make_structured_solver(socp, SolverOptions(max_iter=100)))
+
+    nx, nu = cfg.nx, cfg.nu
+    nxu = nx + nu
+    x0 = np.array([0.6, 330.0, 0.60])
+    par, us = _par(cfg, N, x0)
+
+    lbw = spec.lbw.copy()
+    ubw = spec.ubw.copy()
+    lbw[:nx] = ubw[:nx] = x0
+    w0 = np.zeros(spec.nw)
+    for k in range(N + 1):
+        w0[k * nxu : k * nxu + nx] = x0
+    for k in range(N):
+        w0[k * nxu + nx : (k + 1) * nxu] = us
+    rd = dense(jnp.asarray(w0), par, lbw, ubw, spec.lbg, spec.ubg)
+    rs = struct(par, jnp.tile(jnp.asarray(x0), (N + 1, 1)),
+                jnp.tile(jnp.asarray(us), (N, 1)))
+
+    assert int(rd.status) == 0 and int(rs.status) == 0
+    wd = np.asarray(rd.w)
+    Ud = np.array([wd[k * nxu + nx : (k + 1) * nxu] for k in range(N)])
+    assert np.abs(Ud - np.asarray(rs.U)).max() < 5e-4
+    assert abs(float(rd.f) - float(rs.f)) < 1e-5 * max(1.0, abs(float(rd.f)))
+
+
+def test_structured_du_bounds_augmentation():
+    # Delta-u bounds exercise the state augmentation with u_{k-1}
+    import dataclasses
+
+    N = 10
+    cfg, model, f_obj, vfin = _setup(N)
+    cfg = cfg.replace(bounds=dataclasses.replace(
+        cfg.bounds, Dumin=np.array([-0.5, -0.01]), Dumax=np.array([0.5, 0.01])))
+    spec = build_ocp(cfg, model, f_obj, vfin)
+    dense = jax.jit(make_solver(spec.nlp, SolverOptions(max_iter=100)))
+    socp = build_structured_ocp(cfg, model, f_obj, vfin)
+    assert socp.nxa == cfg.nx + cfg.nu  # augmented
+    struct = jax.jit(make_structured_solver(socp, SolverOptions(max_iter=100)))
+
+    nx, nu = cfg.nx, cfg.nu
+    nxu = nx + nu
+    x0 = np.array([0.7, 328.0, 0.62])
+    par, us = _par(cfg, N, x0)
+    lbw = spec.lbw.copy()
+    ubw = spec.ubw.copy()
+    lbw[:nx] = ubw[:nx] = x0
+    w0 = np.zeros(spec.nw)
+    for k in range(N + 1):
+        w0[k * nxu : k * nxu + nx] = x0
+    for k in range(N):
+        w0[k * nxu + nx : (k + 1) * nxu] = us
+    rd = dense(jnp.asarray(w0), par, lbw, ubw, spec.lbg, spec.ubg)
+    rs = struct(par, jnp.tile(jnp.asarray(np.concatenate([x0, us])), (N + 1, 1))[:, :socp.nxa] * 0
+                + jnp.concatenate([jnp.asarray(x0), jnp.asarray(us)]),
+                jnp.tile(jnp.asarray(us), (N, 1)))
+    assert int(rd.status) == 0 and int(rs.status) == 0
+    wd = np.asarray(rd.w)
+    Ud = np.array([wd[k * nxu + nx : (k + 1) * nxu] for k in range(N)])
+    assert np.abs(Ud - np.asarray(rs.U)).max() < 5e-4
+    # Delta-u bounds hold
+    du = np.diff(np.vstack([us, np.asarray(rs.U)]), axis=0)
+    assert (du[:, 1] <= 0.01 + 1e-6).all() and (du[:, 1] >= -0.01 - 1e-6).all()
+
+
+def test_structured_vmap_batch():
+    N = 8
+    cfg, model, f_obj, vfin = _setup(N)
+    socp = build_structured_ocp(cfg, model, f_obj, vfin)
+    struct = make_structured_solver(socp, SolverOptions(max_iter=100))
+    us = np.array([300.157, 0.1])
+
+    def lane(x0):
+        par, _ = _par(cfg, N, x0)
+        par["x0"] = x0
+        return struct(par, jnp.tile(x0, (N + 1, 1)), jnp.tile(jnp.asarray(us), (N, 1)))
+
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(rng.uniform([0.4, 320, 0.56], [0.9, 335, 0.68], size=(8, 3)))
+    res = jax.jit(jax.vmap(lane))(x0s)
+    assert (np.asarray(res.status) == 0).all()
+    assert np.asarray(res.kkt_err).max() < 1e-7
