@@ -66,7 +66,8 @@ def main():
     opts = SolverOptions(max_iter=int(os.environ.get("BENCH_MAXIT", "40")),
                          tol=float(os.environ.get("BENCH_TOL", "1e-3")),
                          constr_viol_tol=1e-3)
-    solve = make_structured_solver(socp, opts)
+    solve = make_structured_solver(socp, opts,
+                                   parallel=os.environ.get("BENCH_PAR", "0") == "1")
 
     nx, nu, ny, nd = cfg.nx, cfg.nu, cfg.ny, cfg.nd
     rng = np.random.default_rng(0)

@@ -243,8 +243,17 @@ class _SState(NamedTuple):
     feas: jnp.ndarray
 
 
-def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions()) -> Callable:
+def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions(),
+                           parallel: bool = False) -> Callable:
     """Build ``solve(p, X0, U0) -> StructResult`` (jit/vmap friendly).
+
+    ``parallel=True`` uses the associative-scan Riccati (log-depth value-
+    function composition).  Measured on TPU v5e at the reference problem
+    sizes (nz<=8, N=50) the sequential recursion is ~4x FASTER end-to-end:
+    the parallel merges need batched tiny-LU solves (slow on TPU) and the
+    intermediate value-function windows require permanent Hessian
+    regularization (more IPM iterations).  Sequential is therefore the
+    default; the parallel path remains available for very long horizons.
 
     X0 (N+1, nxa), U0 (N, nu) warm starts; X0[0] is overwritten by the
     pinned initial state from p.
@@ -370,7 +379,7 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             nus=jnp.zeros((N, ni), dtype=dtype),
             zlx=zlx0, zux=zux0, zlu=zlu0, zuu=zuu0, zls=zls0, zus=zus0,
             mu=mu0, nu_pen=jnp.asarray(1.0, dtype=dtype),
-            delta=jnp.asarray(0.0, dtype=dtype),
+            delta=jnp.asarray(1e-6 if parallel else 0.0, dtype=dtype),
             it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
             kkt0=jnp.asarray(jnp.inf, dtype=dtype),
             feas=jnp.asarray(jnp.inf, dtype=dtype),
@@ -449,13 +458,23 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             pN_g = jax.grad(lambda xx: _cost_N(xx, p))(X[N]) - bgX[N]
             PN_h = PN_h + jnp.diag(sigX[N])
 
-            # --- Riccati backward recursion with delta ladder on Quu ---
-            def backward(delta):
+            # --- Riccati backward pass at the carried regularization; a
+            # failed factorization skips this iteration and bumps delta
+            # (cheaper than a multi-delta ladder every iteration — the Quu
+            # blocks are PD almost always on these problems).  The carried
+            # delta regularizes the FULL stage Hessian: the parallel
+            # composition needs intermediate value-function windows to stay
+            # well-posed, which indefinite Lagrangian curvature (lam' d2f)
+            # violates unless the x-block is shifted too.
+            Hs = Hs + st.delta * jnp.eye(nz, dtype=dtype)
+            PN_h = PN_h + st.delta * jnp.eye(nxa, dtype=dtype)
+
+            def backward_seq(delta):
                 def bk(carry, inp):
                     P, pv, ok = carry
                     Hk, qk, Ak, Bk, rdk = inp
                     Qxx = Hk[:nxa, :nxa] + Ak.T @ P @ Ak
-                    Quu = Hk[nxa:, nxa:] + Bk.T @ P @ Bk + delta * jnp.eye(nu, dtype=dtype)
+                    Quu = Hk[nxa:, nxa:] + Bk.T @ P @ Bk
                     Qxu = Hk[:nxa, nxa:] + Ak.T @ P @ Bk
                     Pr = pv + P @ rdk
                     qx = qk[:nxa] + Ak.T @ Pr
@@ -476,22 +495,120 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                     (Hs, q, A, B, r_d), reverse=True)
                 return ok, Ks, kf, P_seq, p_seq
 
-            # one backward pass at the carried regularization; a failed
-            # factorization skips this iteration and bumps delta (cheaper
-            # than a multi-delta ladder every iteration — the Quu blocks are
-            # PD almost always on these problems)
+            def backward_par(delta):
+                """Associative-scan Riccati: O(log N) depth of (N, nxa, nxa)
+                batched ops instead of an N-step sequential chain — the
+                TPU-native formulation (parallel LQT value-function elements
+                composing associatively, cf. Sarkka & Garcia-Fernandez,
+                'Temporal Parallelization of Dynamic Programming').
+
+                Per-stage element after eliminating u from the stage:
+                  Ae = A - B Huu^{-1} Hux      be = r - B Huu^{-1} qu
+                  Ce = B Huu^{-1} B'           Je = Hxx - Hxu Huu^{-1} Hux
+                  eta = -(qx - Hxu Huu^{-1} qu)
+                terminal element (0, 0, 0, -pN, PN).  Reverse inclusive scan
+                gives (P_k, p_k) = (J_{k..N}, -eta_{k..N}) for every k.
+                """
+                eyeA = jnp.eye(nxa, dtype=dtype)
+                Huu = Hs[:, nxa:, nxa:]
+                Hxu = Hs[:, :nxa, nxa:]
+                Hxx = Hs[:, :nxa, :nxa]
+                qx_s = q[:, :nxa]
+                qu_s = q[:, nxa:]
+                L = jnp.linalg.cholesky(Huu)
+                ok = jnp.all(jnp.isfinite(L))
+                cho = jax.vmap(lambda Lk, Bm: jax.scipy.linalg.cho_solve((Lk, True), Bm))
+                Hi_ux = cho(L, jnp.swapaxes(Hxu, 1, 2))          # Huu^-1 Hux
+                Hi_qu = cho(L, qu_s[..., None])[..., 0]
+                Hi_Bt = cho(L, jnp.swapaxes(B, 1, 2))            # Huu^-1 B'
+                Ae = A - B @ Hi_ux
+                be = r_d - jnp.einsum("kab,kb->ka", B, Hi_qu)
+                Ce = B @ Hi_Bt
+                Ce = 0.5 * (Ce + jnp.swapaxes(Ce, 1, 2))
+                Je = Hxx - Hxu @ Hi_ux
+                Je = 0.5 * (Je + jnp.swapaxes(Je, 1, 2))
+                eta = -(qx_s - jnp.einsum("kab,kb->ka", Hxu, Hi_qu))
+
+                elems = (
+                    jnp.concatenate([Ae, jnp.zeros((1, nxa, nxa), dtype=dtype)]),
+                    jnp.concatenate([be, jnp.zeros((1, nxa), dtype=dtype)]),
+                    jnp.concatenate([Ce, jnp.zeros((1, nxa, nxa), dtype=dtype)]),
+                    jnp.concatenate([eta, -pN_g[None]]),
+                    jnp.concatenate([Je, PN_h[None]]),
+                )
+
+                def comp(e1, e2):
+                    # e1 earlier (i->j), e2 later (j->l)
+                    A1, b1, C1, n1, J1 = e1
+                    A2, b2, C2, n2, J2 = e2
+                    M = eyeA + C1 @ J2                            # (.., nxa, nxa)
+                    rhs = jnp.concatenate(
+                        [A1, (b1 + jnp.einsum("...ab,...b->...a", C1, n2))[..., None],
+                         C1], axis=-1)
+                    sol = jnp.linalg.solve(M, rhs)
+                    MA1 = sol[..., :nxa]
+                    Mb = sol[..., nxa]
+                    MC1 = sol[..., nxa + 1:]
+                    A12 = A2 @ MA1
+                    b12 = jnp.einsum("...ab,...b->...a", A2, Mb) + b2
+                    C12 = A2 @ MC1 @ jnp.swapaxes(A2, -1, -2) + C2
+                    C12 = 0.5 * (C12 + jnp.swapaxes(C12, -1, -2))
+                    Mt = eyeA + J2 @ C1
+                    rhs2 = jnp.concatenate(
+                        [(n2 - jnp.einsum("...ab,...b->...a", J2, b1))[..., None],
+                         J2 @ A1], axis=-1)
+                    sol2 = jnp.linalg.solve(Mt, rhs2)
+                    n12 = jnp.einsum("...ba,...b->...a", A1, sol2[..., 0]) + n1
+                    J12 = jnp.swapaxes(A1, -1, -2) @ sol2[..., 1:] + J1
+                    J12 = 0.5 * (J12 + jnp.swapaxes(J12, -1, -2))
+                    return (A12, b12, C12, n12, J12)
+
+                # associative_scan(reverse=True) feeds fn(higher_index,
+                # lower_index); comp expects (earlier, later) — swap.
+                suf = lax.associative_scan(lambda a, b: comp(b, a), elems,
+                                           reverse=True)
+                P_all = suf[4]            # (N+1, nxa, nxa): P_k for k=0..N
+                p_all = -suf[3]
+                P_nxt = P_all[1:]         # P_{k+1} per stage
+                p_nxt = p_all[1:]
+
+                # stage gains from the value-function sequence (vmapped)
+                Quu_f = Huu + jnp.swapaxes(B, 1, 2) @ P_nxt @ B
+                qu_f = qu_s + jnp.einsum("kba,kb->ka", B,
+                                         jnp.einsum("kab,kb->ka", P_nxt, r_d) + p_nxt)
+                Qux_f = jnp.swapaxes(Hxu, 1, 2) + jnp.swapaxes(B, 1, 2) @ P_nxt @ A
+                Lf = jnp.linalg.cholesky(Quu_f)
+                ok = ok & jnp.all(jnp.isfinite(Lf))
+                Ks = -cho(Lf, Qux_f)
+                kf = -cho(Lf, qu_f[..., None])[..., 0]
+                return ok, Ks, kf, P_nxt, p_nxt
+
+            backward = backward_par if parallel else backward_seq
             solvable, Ks, kf, P_seq, p_seq = backward(st.delta)
 
-            # forward rollout of the Newton step
-            def fwd(dx, inp):
-                Kk, kk, Ak, Bk, rdk = inp
-                du = kk + Kk @ dx
-                dx_next = Ak @ dx + Bk @ du + rdk
-                return dx_next, (dx, du)
+            if parallel:
+                # forward rollout as an associative scan of affine maps
+                M_aff = A + B @ Ks
+                v_aff = r_d + jnp.einsum("kab,kb->ka", B, kf)
 
-            dxN_last, (dX_head, dU) = lax.scan(
-                fwd, jnp.zeros(nxa, dtype=dtype), (Ks, kf, A, B, r_d))
-            dX = jnp.concatenate([dX_head, dxN_last[None]], axis=0)  # (N+1, nxa)
+                def acomp(a, bl):
+                    Ma, va = a
+                    Mb, vb = bl
+                    return (Mb @ Ma, jnp.einsum("...ab,...b->...a", Mb, va) + vb)
+
+                Mc, vc = lax.associative_scan(acomp, (M_aff, v_aff))
+                dX = jnp.concatenate([jnp.zeros((1, nxa), dtype=dtype), vc], axis=0)
+                dU = kf + jnp.einsum("kab,kb->ka", Ks, dX[:N])
+            else:
+                def fwd(dx, inp):
+                    Kk, kk, Ak, Bk, rdk = inp
+                    du = kk + Kk @ dx
+                    dx_next = Ak @ dx + Bk @ du + rdk
+                    return dx_next, (dx, du)
+
+                dxN_last, (dX_head, dU) = lax.scan(
+                    fwd, jnp.zeros(nxa, dtype=dtype), (Ks, kf, A, B, r_d))
+                dX = jnp.concatenate([dX_head, dxN_last[None]], axis=0)
             dX = jnp.nan_to_num(dX, nan=0.0, posinf=0.0, neginf=0.0)
             dU = jnp.nan_to_num(dU, nan=0.0, posinf=0.0, neginf=0.0)
 
@@ -600,9 +717,11 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             accepted = accepted | near_opt
             alpha = jnp.where(accepted, alpha, alpha_max * (0.5 ** _MAX_BACKTRACK))
             alpha = jnp.where(solvable, alpha, 0.0)
+            delta_floor = 1e-6 if parallel else 0.0
             delta_n = jnp.where(solvable,
-                                jnp.maximum(st.delta / 3.0, 0.0) * (st.delta > 1e-9),
-                                jnp.maximum(st.delta * 10.0, 1e-6))
+                                jnp.maximum(st.delta / 2.0, delta_floor)
+                                * (st.delta > 1e-9 if not parallel else True),
+                                jnp.maximum(st.delta * 10.0, 1e-5))
 
             X_n = X.at[1:].add(alpha * dX[1:])
             U_n = U + alpha * dU

@@ -120,3 +120,24 @@ def test_structured_vmap_batch():
     res = jax.jit(jax.vmap(lane))(x0s)
     assert (np.asarray(res.status) == 0).all()
     assert np.asarray(res.kkt_err).max() < 1e-7
+
+
+def test_parallel_scan_matches_sequential():
+    # associative-scan Riccati vs sequential recursion: same KKT point at
+    # moderate tolerance (the parallel path carries a permanent 1e-6
+    # Hessian regularization for intermediate-window well-posedness)
+    N = 12
+    cfg, model, f_obj, vfin = _setup(N)
+    socp = build_structured_ocp(cfg, model, f_obj, vfin)
+    opts = SolverOptions(max_iter=60, tol=1e-4)
+    seq = jax.jit(make_structured_solver(socp, opts, parallel=False))
+    par = jax.jit(make_structured_solver(socp, opts, parallel=True))
+    x0 = np.array([0.6, 330.0, 0.60])
+    par_p, us = _par(cfg, N, x0)
+    X0 = jnp.tile(jnp.asarray(x0), (N + 1, 1))
+    U0 = jnp.tile(jnp.asarray(us), (N, 1))
+    r1 = seq(par_p, X0, U0)
+    r2 = par(par_p, X0, U0)
+    assert int(r1.status) != 2 and int(r2.status) != 2
+    assert np.abs(np.asarray(r1.U) - np.asarray(r2.U)).max() < 2e-2
+    assert abs(float(r1.f) - float(r2.f)) < 1e-3
