@@ -34,7 +34,7 @@ def build_stage_cost(sc: StageCost) -> Callable:
         r_u = jnp.asarray(sc.r_u if sc.r_u is not None else sc.r_Du, dtype=float)
 
         def f_obj(x, u, y, xs, us, ys):
-            return r_x @ jnp.abs(x) + r_u @ jnp.abs(u)
+            return jnp.sum(r_x @ jnp.abs(x)) + jnp.sum(r_u @ jnp.abs(u))
 
         return f_obj
     if sc.Q is not None:
@@ -68,7 +68,7 @@ def build_ss_cost(ssc: SSCost) -> Callable:
         r_u = jnp.asarray(ssc.rss_u if ssc.rss_u is not None else ssc.rss_Du, dtype=float)
 
         def f(x, u, y, xsp, usp, ysp):
-            return r_y @ y + r_u @ jnp.abs(u)
+            return jnp.sum(r_y @ y) + jnp.sum(r_u @ jnp.abs(u))
 
         return f
     if ssc.Qss is not None:
@@ -95,7 +95,7 @@ def build_mhe_cost(mc: MHECost) -> Callable:
         r_v = jnp.asarray(mc.r_v, dtype=float)
 
         def f(w, v, t):
-            return r_w @ w + r_v @ v
+            return jnp.sum(r_w @ w) + jnp.sum(r_v @ v)
 
         return f
     if mc.Q is not None:

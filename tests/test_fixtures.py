@@ -1,0 +1,37 @@
+"""Golden-trajectory regression against recorded fixtures.
+
+Runs each example config (reduced sizes, same as tools/record_fixtures.py)
+and compares the full closed-loop input trajectory to the recorded fixture
+within the BASELINE tolerance (<= 1e-4 input deviation).  These fixtures
+pin end-to-end behavior across refactors/rounds; regenerate deliberately
+with ``python tools/record_fixtures.py`` when behavior changes on purpose.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                                "tools"))
+from record_fixtures import CASES, KEYS, run_case  # noqa: E402
+
+from mpc_code_tpu.utils.io import load_history  # noqa: E402
+
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "fixtures")
+
+
+@pytest.mark.parametrize("name,Nsim,N", CASES, ids=[c[0] for c in CASES])
+def test_example_matches_fixture(name, Nsim, N):
+    path = os.path.join(FIXTURE_DIR, f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip("fixture not recorded")
+    ref, meta = load_history(path)
+    H = run_case(name, Nsim, N)
+    for key in ("U", "Yp", "D_HAT"):
+        if key not in ref or key not in H or not len(ref[key]):
+            continue
+        dev = np.abs(np.asarray(H[key]) - ref[key]).max()
+        assert dev <= 1e-4, f"{name}: {key} deviates by {dev:.2e}"
