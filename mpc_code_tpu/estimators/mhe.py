@@ -266,13 +266,20 @@ class MHERuntime:
                 P_k = (A0 @ P_corr @ A0.T + G0 @ Q0 @ G0.T
                        + A0 @ M0 @ G0.T + G0 @ M0 @ A0.T)     # Estimator.py:647-650
             else:  # smooth
-                # backward Riccati smoother (Estimator.py:654-664)
-                Pis = [None] * N_mhe
-                Pis[N_mhe - 1] = self.bigPc[N_mhe - 1]
-                for i in range(N_mhe - 2, -1, -1):
-                    Pim = scla.inv(self.bigP[i + 1])
-                    Pis[i] = self.bigPc[i] + self.bigPc[i] @ self.bigA[i].T @ Pim @ (
-                        Pis[i + 1] - self.bigP[i + 1]) @ Pim @ self.bigA[i] @ self.bigPc[i]
+                # backward Riccati smoother (Estimator.py:654-664); the
+                # native host-core path is used when the C++ library built
+                from mpc_code_tpu import native as hostcore
+
+                if hostcore.available() and N_mhe > 1:
+                    Pis = list(hostcore.riccati_smoother(
+                        self.bigP[:N_mhe], self.bigPc[:N_mhe], self.bigA[:N_mhe]))
+                else:
+                    Pis = [None] * N_mhe
+                    Pis[N_mhe - 1] = self.bigPc[N_mhe - 1]
+                    for i in range(N_mhe - 2, -1, -1):
+                        Pim = scla.inv(self.bigP[i + 1])
+                        Pis[i] = self.bigPc[i] + self.bigPc[i] @ self.bigA[i].T @ Pim @ (
+                            Pis[i + 1] - self.bigP[i + 1]) @ Pim @ self.bigA[i] @ self.bigPc[i]
                 P_k = Pis[1] if N_mhe > 1 else Pis[0]
 
                 # shift one step forward (Estimator.py:671-684)
