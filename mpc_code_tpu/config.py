@@ -317,6 +317,11 @@ class MPCConfig:
     # bounds
     bounds: Bounds = field(default_factory=Bounds)
 
+    # parameter dimensions for LinPar=False (user-sized px/py instead of the
+    # additive nx/ny-sized defaults — reference MPC_code.py:36-48)
+    npx_user: Optional[int] = None
+    npy_user: Optional[int] = None
+
     # semantic flags (reference Default_Values.py; most are derived from the
     # cost family exactly as MPC_code.py:200-259 derives them)
     estimating: bool = False
@@ -404,10 +409,16 @@ class MPCConfig:
 
     @property
     def npx(self) -> int:
-        return self.nx  # LinPar=True: additive state params sized nx (MPC_code.py:45-48)
+        # LinPar=True: additive state params sized nx (MPC_code.py:45-48);
+        # LinPar=False: user-declared parameter size
+        if not self.LinPar and self.npx_user is not None:
+            return self.npx_user
+        return self.nx
 
     @property
     def npy(self) -> int:
+        if not self.LinPar and self.npy_user is not None:
+            return self.npy_user
         return self.ny
 
     @property

@@ -1,0 +1,47 @@
+"""SPMD scaling tests on the virtual 8-device CPU mesh (SURVEY.md §4 item 4:
+multi-chip without a pod)."""
+
+import jax
+import numpy as np
+import pytest
+
+from mpc_code_tpu.parallel import batched_closed_loop, make_mesh, shard_batch
+
+
+def _cfg():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "__graft_entry__.py"))
+    ge = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ge)
+    return ge._small_cfg(N=4)
+
+
+def test_mesh_sharded_batched_loop():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    cfg = _cfg()
+    mesh = make_mesh(8)
+    B = 16
+    x0s = np.tile(np.asarray(cfg.x0_p, float), (B, 1)) + 0.05 * np.arange(B)[:, None]
+    carry, out = batched_closed_loop(cfg, x0s, n_steps=3, mesh=mesh,
+                                     ysp=np.array([0.2, 0.0, 0.0]))
+    assert out.u.shape == (3, B, cfg.nu)
+    assert (np.asarray(out.status_dyn) != 2).all()
+    # the batch axis is actually sharded over the mesh
+    shards = carry.x.sharding
+    assert len(shards.device_set) == 8
+
+
+def test_sharded_equals_unsharded():
+    cfg = _cfg()
+    B = 8
+    x0s = np.tile(np.asarray(cfg.x0_p, float), (B, 1)) + 0.1 * np.arange(B)[:, None]
+    _, out_m = batched_closed_loop(cfg, x0s, n_steps=2, mesh=make_mesh(8),
+                                   ysp=np.array([0.2, 0.0, 0.0]))
+    _, out_s = batched_closed_loop(cfg, x0s, n_steps=2, mesh=None,
+                                   ysp=np.array([0.2, 0.0, 0.0]))
+    assert np.allclose(np.asarray(out_m.u), np.asarray(out_s.u), atol=1e-10)

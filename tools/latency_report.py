@@ -1,0 +1,47 @@
+"""Per-step solve-latency report (BASELINE.md metric: p50/p99 solve latency
+vs the plant sampling period h).
+
+Runs a closed-loop example and reports percentiles of the per-step target
+(TIME_SS) and OCP (TIME_DYN) solve wall times — the reference collects the
+same quantities but never reports them (MPC_code.py:703-711, 775-783).
+
+Usage: python tools/latency_report.py [example] [Nsim] [N]
+"""
+
+import os
+import sys
+
+import jax
+
+if os.environ.get("LATENCY_CPU", "0") == "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from mpc_code_tpu.loop import ClosedLoop  # noqa: E402
+
+
+def main():
+    name = sys.argv[1] if len(sys.argv) > 1 else "lmpc_wb"
+    Nsim = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    N = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    mod = __import__(f"mpc_code_tpu.examples.{name}", fromlist=["make_config"])
+    cfg = mod.make_config(Nsim=Nsim)
+    if N:
+        cfg = cfg.replace(N=N)
+    H = ClosedLoop(cfg).run()
+    for key, label in (("TIME_SS", "target"), ("TIME_DYN", "OCP")):
+        t = np.asarray(H[key])[2:]  # drop compile-affected steps
+        if not len(t):
+            continue
+        print(f"{name} {label}: p50={np.percentile(t,50)*1e3:.1f}ms "
+              f"p90={np.percentile(t,90)*1e3:.1f}ms "
+              f"p99={np.percentile(t,99)*1e3:.1f}ms "
+              f"(sampling period h={cfg.h}s -> budget {cfg.h*1e3:.0f}ms)")
+
+
+if __name__ == "__main__":
+    main()
