@@ -85,7 +85,22 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
     tspec = build_target(cfg, model, fss_obj)
     ospec = build_ocp(cfg, model, f_obj, vfin)
     target_solve = make_solver(tspec.nlp, cfg.sol_opts_ss)
-    ocp_solve = make_solver(ospec.nlp, cfg.sol_opts_dyn)
+
+    # structured Riccati fast path for the OCP when the feature set allows
+    # it; dense IPM fallback otherwise
+    use_structured = not (cfg.ContForm or cfg.Collocation or cfg.slacks
+                          or cfg.TermCons or cfg.G_ineq is not None
+                          or cfg.H_eq is not None)
+    if use_structured:
+        from mpc_code_tpu.solver.riccati import (
+            build_structured_ocp, make_structured_solver,
+        )
+
+        socp = build_structured_ocp(cfg, model, f_obj, vfin)
+        struct_solve = make_structured_solver(socp, cfg.sol_opts_dyn)
+        du_aug = socp.nxa > nx
+    else:
+        ocp_solve = make_solver(ospec.nlp, cfg.sol_opts_dyn)
 
     est = cfg.estimator
     kind = est.kind
@@ -157,20 +172,38 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
         xs = jnp.where(ss_ok, rss.w[:nx], c.xs)           # MPC_code.py:714-718
         us = jnp.where(ss_ok, rss.w[nx:nxu], c.us)
 
-        # OCP with pinned x0 and shifted warm start
-        lbw = o_lbw.at[:nx].set(xhat)
-        ubw = o_ubw.at[:nx].set(xhat)
+        # OCP with pinned x0 and shifted warm start (flat layout carried;
+        # MPC_code.py:757-764)
         shifted = jnp.concatenate([c.w_prev[nxu : nw - ns], c.us, c.xs,
                                    c.w_prev[nw - ns : nw]])
-        w0 = jnp.where(c.ocp_ok, shifted, c.w_prev)       # MPC_code.py:757-764
+        w0 = jnp.where(c.ocp_ok, shifted, c.w_prev)
         par = dict(x0=xhat, xs=xs, us=us, d=dhat, um1=c.u, t=t_k,
                    lam=zero_lam, px=px_h, py=py_h)
-        r = ocp_solve(w0, par, lbw, ubw, o_lbg, o_ubg)
-        ok = r.status != STATUS_INFEASIBLE
-        u_k = jnp.where(ok, r.w[nxu - nu : nxu], c.u)     # MPC_code.py:786-805
-        xhat_next = jnp.where(ok, r.w[nxu : nxu + nx],
-                              model.fx(xhat, c.u, cfg.h, dhat, t_k, px0))
-        w_prev = jnp.where(ok, r.w, c.w_prev)
+        if use_structured:
+            body0 = w0[: N * nxu].reshape(N, nxu)
+            Xg = jnp.concatenate([body0[:, :nx], w0[N * nxu :][None]], axis=0)
+            Ug = body0[:, nx:]
+            if du_aug:
+                Uprev = jnp.concatenate([c.u[None], Ug[:-1]], axis=0)
+                Xg = jnp.concatenate(
+                    [Xg, jnp.concatenate([Uprev, Ug[-1:]], axis=0)], axis=1)
+            rs = struct_solve(par, Xg, Ug)
+            ok = rs.status != STATUS_INFEASIBLE
+            u_k = jnp.where(ok, rs.U[0], c.u)             # MPC_code.py:786-805
+            xhat_next = jnp.where(ok, rs.X[1, :nx],
+                                  model.fx(xhat, c.u, cfg.h, dhat, t_k, px0))
+            body_n = jnp.concatenate([rs.X[:N, :nx], rs.U], axis=1).reshape(-1)
+            w_new = jnp.concatenate([body_n, rs.X[N, :nx]])
+            w_prev = jnp.where(ok, w_new, c.w_prev)
+        else:
+            lbw = o_lbw.at[:nx].set(xhat)
+            ubw = o_ubw.at[:nx].set(xhat)
+            r = ocp_solve(w0, par, lbw, ubw, o_lbg, o_ubg)
+            ok = r.status != STATUS_INFEASIBLE
+            u_k = jnp.where(ok, r.w[nxu - nu : nxu], c.u)  # MPC_code.py:786-805
+            xhat_next = jnp.where(ok, r.w[nxu : nxu + nx],
+                                  model.fx(xhat, c.u, cfg.h, dhat, t_k, px0))
+            w_prev = jnp.where(ok, r.w, c.w_prev)
 
         # plant update
         if plant.nominal:
@@ -182,9 +215,11 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
         carry = MPCCarry(x=x_next, xhat=xhat_next, dhat=dhat, P=P, u=u_k,
                          xs=xs, us=us, w_prev=w_prev, ocp_ok=ok,
                          t=t_k + cfg.h)
+        status_dyn = rs.status if use_structured else r.status
+        iters_dyn = rs.iters if use_structured else r.iters
         out = MPCStepOut(y=y_k, u=u_k, xs=xs, us=us, xhat=xhat, dhat=dhat,
-                         status_ss=rss.status, status_dyn=r.status,
-                         ocp_iters=r.iters)
+                         status_ss=rss.status, status_dyn=status_dyn,
+                         ocp_iters=iters_dyn)
         return carry, out
 
     return step
