@@ -299,6 +299,13 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
     v_stage = jax.vmap(stage_derivs, in_axes=(0, 0, 0, None, 0, 0))
     ks = jnp.arange(N)
 
+    from mpc_code_tpu.solver.riccati_kernel import make_riccati_kkt
+
+    # fused backward+forward Riccati: per-lane sequential scan when
+    # unbatched; a single Pallas kernel per 128-lane tile under vmap on
+    # TPU/f32 (see riccati_kernel.py)
+    kkt_fused = make_riccati_kkt(N, nxa, nu)
+
     def _mdiv(num, den, mask):
         return jnp.where(mask, num / jnp.where(mask, den, 1.0), 0.0)
 
@@ -469,32 +476,6 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             Hs = Hs + st.delta * jnp.eye(nz, dtype=dtype)
             PN_h = PN_h + st.delta * jnp.eye(nxa, dtype=dtype)
 
-            def backward_seq(delta):
-                def bk(carry, inp):
-                    P, pv, ok = carry
-                    Hk, qk, Ak, Bk, rdk = inp
-                    Qxx = Hk[:nxa, :nxa] + Ak.T @ P @ Ak
-                    Quu = Hk[nxa:, nxa:] + Bk.T @ P @ Bk
-                    Qxu = Hk[:nxa, nxa:] + Ak.T @ P @ Bk
-                    Pr = pv + P @ rdk
-                    qx = qk[:nxa] + Ak.T @ Pr
-                    qu = qk[nxa:] + Bk.T @ Pr
-                    L = jnp.linalg.cholesky(Quu)
-                    ok = ok & jnp.all(jnp.isfinite(L))
-                    Kk = -jax.scipy.linalg.cho_solve((L, True), Qxu.T)
-                    kk = -jax.scipy.linalg.cho_solve((L, True), qu)
-                    P_new = Qxx + Qxu @ Kk
-                    P_new = 0.5 * (P_new + P_new.T)
-                    p_new = qx + Qxu @ kk
-                    # emit the value function of the *next* stage (P, pv):
-                    # lam_k = P_{k+1} dx_{k+1} + p_{k+1}
-                    return (P_new, p_new, ok), (Kk, kk, P, pv)
-
-                (P0f, p0f, ok), (Ks, kf, P_seq, p_seq) = lax.scan(
-                    bk, (PN_h, pN_g, jnp.asarray(True)),
-                    (Hs, q, A, B, r_d), reverse=True)
-                return ok, Ks, kf, P_seq, p_seq
-
             def backward_par(delta):
                 """Associative-scan Riccati: O(log N) depth of (N, nxa, nxa)
                 batched ops instead of an N-step sequential chain — the
@@ -583,8 +564,13 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 kf = -cho(Lf, qu_f[..., None])[..., 0]
                 return ok, Ks, kf, P_nxt, p_nxt
 
-            backward = backward_par if parallel else backward_seq
-            solvable, Ks, kf, P_seq, p_seq = backward(st.delta)
+            if parallel:
+                solvable, Ks, kf, P_seq, p_seq = backward_par(st.delta)
+            else:
+                # delta already applied to Hs/PN above; the fused kernel's
+                # own Quu shift stays zero
+                solvable, Ks, kf, P_seq, p_seq, dX, dU = kkt_fused(
+                    Hs, q, A, B, r_d, PN_h, pN_g, jnp.zeros((), dtype=dtype))
 
             if parallel:
                 # forward rollout as an associative scan of affine maps
@@ -599,16 +585,6 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 Mc, vc = lax.associative_scan(acomp, (M_aff, v_aff))
                 dX = jnp.concatenate([jnp.zeros((1, nxa), dtype=dtype), vc], axis=0)
                 dU = kf + jnp.einsum("kab,kb->ka", Ks, dX[:N])
-            else:
-                def fwd(dx, inp):
-                    Kk, kk, Ak, Bk, rdk = inp
-                    du = kk + Kk @ dx
-                    dx_next = Ak @ dx + Bk @ du + rdk
-                    return dx_next, (dx, du)
-
-                dxN_last, (dX_head, dU) = lax.scan(
-                    fwd, jnp.zeros(nxa, dtype=dtype), (Ks, kf, A, B, r_d))
-                dX = jnp.concatenate([dX_head, dxN_last[None]], axis=0)
             dX = jnp.nan_to_num(dX, nan=0.0, posinf=0.0, neginf=0.0)
             dU = jnp.nan_to_num(dU, nan=0.0, posinf=0.0, neginf=0.0)
 
