@@ -65,7 +65,8 @@ def main():
 
     opts = SolverOptions(max_iter=int(os.environ.get("BENCH_MAXIT", "40")),
                          tol=float(os.environ.get("BENCH_TOL", "1e-3")),
-                         constr_viol_tol=1e-3)
+                         constr_viol_tol=1e-3,
+                         hessian=os.environ.get("BENCH_HESS", "gauss_newton"))
     solve = make_structured_solver(socp, opts,
                                    parallel=os.environ.get("BENCH_PAR", "0") == "1")
 

@@ -276,6 +276,10 @@ class SolverOptions:
     mu_init: float = 1e-1
     constr_viol_tol: float = 1e-6
     debug: bool = False
+    # 'exact' | 'gauss_newton' — GN drops the constraint-curvature term
+    # lam' d2(dyn) from the stage Hessian (the analog of the reference's
+    # ipopt hessian_constant option for QP costs, Default_Values.py:103-105)
+    hessian: str = "exact"
 
 
 @dataclass

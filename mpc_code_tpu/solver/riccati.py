@@ -274,16 +274,23 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             val = val + nu_k @ s.ineq(xa, u, k, p)
         return val
 
+    gauss_newton = opts.hessian == "gauss_newton"
+
     def stage_derivs(xa, u, k, p, lam_k, nu_k):
         z = jnp.concatenate([xa, u])
 
-        def L_of_z(zz):
-            return stage_lagrangian(zz[:nxa], zz[nxa:], k, p, lam_k, nu_k)
-
-        H = jax.hessian(L_of_z)(z)
-
         def c_of_z(zz):
             return _cost(zz[:nxa], zz[nxa:], k, p)
+
+        if gauss_newton:
+            # cost curvature only — no Hessian traversal of the dynamics
+            # rollout (reference analog: ipopt hessian_constant for QP costs)
+            H = jax.hessian(c_of_z)(z)
+        else:
+            def L_of_z(zz):
+                return stage_lagrangian(zz[:nxa], zz[nxa:], k, p, lam_k, nu_k)
+
+            H = jax.hessian(L_of_z)(z)
 
         gc = jax.grad(c_of_z)(z)
         Ad = jax.jacfwd(lambda xx: s.dyn(xx, u, k, p))(xa)
@@ -417,9 +424,60 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             return total_cost(X, U) - mu * bar
 
         def body(st: _SState) -> _SState:
-            X, U, S, mu = st.X, st.U, st.S, st.mu
+            X, U, S = st.X, st.U, st.S
             H, gc, A, B, E, ival = v_stage(X[:N], U, ks, p, st.lam, st.nus)
             r_d, r_i = residuals(X, U, S)
+
+            # --- KKT errors at the CURRENT point, assembled algebraically
+            # from the stage data already computed (no second derivative
+            # sweep; the Lagrangian stationarity is
+            # dcost + A'lam + E'nu - lam_{k-1} - bound duals)
+            AtL = jnp.einsum("kab,ka->kb", A, st.lam)
+            BtL = jnp.einsum("kab,ka->kb", B, st.lam)
+            if ni:
+                EtZ = jnp.einsum("kia,ki->ka", E, st.nus)
+            else:
+                EtZ = jnp.zeros((N, nz), dtype=dtype)
+            gx_full = gc[:, :nxa] + AtL + EtZ[:, :nxa]
+            gu_full = gc[:, nxa:] + BtL + EtZ[:, nxa:]
+            gradN = jax.grad(lambda xx: _cost_N(xx, p))(X[N])
+            rx = jnp.concatenate(
+                [gx_full[1:] - st.lam[: N - 1],
+                 (gradN - st.lam[N - 1])[None]], axis=0)
+            rx = rx - (st.zlx[1:] - st.zux[1:])
+            ru = gu_full - (st.zlu - st.zuu)
+            rs = -st.nus - (st.zls - st.zus) if ni else jnp.zeros((N, 0), dtype=dtype)
+
+            def comp(z, zl, zu, lb, ub, hl, hu, mu_v):
+                cl = jnp.where(hl, (z - lb) * zl - mu_v, 0.0)
+                cu = jnp.where(hu, (ub - z) * zu - mu_v, 0.0)
+                return jnp.maximum(jnp.max(jnp.abs(cl), initial=0.0),
+                                   jnp.max(jnp.abs(cu), initial=0.0))
+
+            def kkt_at(mu_v):
+                e_stat = jnp.maximum(jnp.max(jnp.abs(rx), initial=0.0),
+                                     jnp.maximum(jnp.max(jnp.abs(ru), initial=0.0),
+                                                 jnp.max(jnp.abs(rs), initial=0.0)))
+                e_feas = jnp.maximum(jnp.max(jnp.abs(r_d), initial=0.0),
+                                     jnp.max(jnp.abs(r_i), initial=0.0))
+                e_comp = jnp.maximum(
+                    comp(X[1:], st.zlx[1:], st.zux[1:], lbx, ubx, hlx, hux, mu_v),
+                    jnp.maximum(comp(U, st.zlu, st.zuu, lbu, ubu, hlu, huu, mu_v),
+                                comp(S, st.zls, st.zus, lbi, ubi, hli, hui, mu_v)
+                                if ni else 0.0))
+                scale = jnp.maximum(100.0, (jnp.sum(jnp.abs(st.lam)) + jnp.sum(jnp.abs(st.nus))
+                                            + jnp.sum(st.zlx + st.zux) + jnp.sum(st.zlu + st.zuu)
+                                            + jnp.sum(st.zls + st.zus))
+                                    / (N * (nz + ni) + nxa + 1.0)) / 100.0
+                return jnp.maximum(e_stat / scale, jnp.maximum(e_feas, e_comp / scale)), e_feas
+
+            e_mu, _ = kkt_at(st.mu)
+            e_0, feas = kkt_at(jnp.zeros_like(st.mu))
+            done_now = e_0 <= opts.tol
+            mu = jnp.where(e_mu <= _KAPPA_EPS * st.mu,
+                           jnp.maximum(opts.tol / 10.0,
+                                       jnp.minimum(_KAPPA_MU * st.mu, st.mu ** _THETA_MU)),
+                           st.mu)
 
             # barrier sigma/gradients for X (stages 1..N), U, S
             def sig(z, zl, zu, lb, ub, hl, hu):
@@ -721,74 +779,25 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             zlu_n, zuu_n = upd_duals(U_n, st.zlu, st.zuu, dzlu, dzuu, lbu, ubu, hlu, huu)
             zls_n, zus_n = upd_duals(S_n, st.zls, st.zus, dzls, dzus, lbi, ubi, hli, hui)
 
-            # KKT errors at the new point
-            H2, gc2, A2, B2, E2, _ = v_stage(X_n[:N], U_n, ks, p, lam_n, nus_n)
-            rd2, ri2 = residuals(X_n, U_n, S_n)
-
-            # stationarity via autodiff of the full Lagrangian wrt X[1:], U
-            def lagr_all(Xv, Uv):
-                cs = jnp.sum(jax.vmap(_cost, in_axes=(0, 0, 0, None))(Xv[:N], Uv, ks, p))
-                cs = cs + _cost_N(Xv[N], p)
-                Xn2 = jax.vmap(s.dyn, in_axes=(0, 0, 0, None))(Xv[:N], Uv, ks, p)
-                cs = cs + jnp.sum(lam_n * (Xn2 - Xv[1:]))
-                if ni:
-                    iv = jax.vmap(s.ineq, in_axes=(0, 0, 0, None))(Xv[:N], Uv, ks, p)
-                    cs = cs + jnp.sum(nus_n * iv)
-                return cs
-
-            gX, gU = jax.grad(lagr_all, argnums=(0, 1))(X_n, U_n)
-            rx = gX[1:] - (zlx_n[1:] - zux_n[1:])
-            ru = gU - (zlu_n - zuu_n)
-            rs = -nus_n - (zls_n - zus_n) if ni else jnp.zeros((N, 0), dtype=dtype)
-
-            def comp(z, zl, zu, lb, ub, hl, hu, mu_v):
-                cl = jnp.where(hl, (z - lb) * zl - mu_v, 0.0)
-                cu = jnp.where(hu, (ub - z) * zu - mu_v, 0.0)
-                return jnp.maximum(jnp.max(jnp.abs(cl), initial=0.0),
-                                   jnp.max(jnp.abs(cu), initial=0.0))
-
-            def kkt_at(mu_v):
-                e_stat = jnp.maximum(jnp.max(jnp.abs(rx), initial=0.0),
-                                     jnp.maximum(jnp.max(jnp.abs(ru), initial=0.0),
-                                                 jnp.max(jnp.abs(rs), initial=0.0)))
-                e_feas = jnp.maximum(jnp.max(jnp.abs(rd2), initial=0.0),
-                                     jnp.max(jnp.abs(ri2), initial=0.0))
-                e_comp = jnp.maximum(
-                    comp(X_n[1:], zlx_n[1:], zux_n[1:], lbx, ubx, hlx, hux, mu_v),
-                    jnp.maximum(comp(U_n, zlu_n, zuu_n, lbu, ubu, hlu, huu, mu_v),
-                                comp(S_n, zls_n, zus_n, lbi, ubi, hli, hui, mu_v)
-                                if ni else 0.0))
-                scale = jnp.maximum(100.0, (jnp.sum(jnp.abs(lam_n)) + jnp.sum(jnp.abs(nus_n))
-                                            + jnp.sum(zlx_n + zux_n) + jnp.sum(zlu_n + zuu_n)
-                                            + jnp.sum(zls_n + zus_n))
-                                    / (N * (nz + ni) + nxa + 1.0)) / 100.0
-                return jnp.maximum(e_stat / scale, jnp.maximum(e_feas, e_comp / scale)), e_feas
-
-            e_mu, _ = kkt_at(mu)
-            e_0, feas = kkt_at(jnp.zeros_like(mu))
-
-            mu_n = jnp.where(e_mu <= _KAPPA_EPS * mu,
-                             jnp.maximum(opts.tol / 10.0,
-                                         jnp.minimum(_KAPPA_MU * mu, mu ** _THETA_MU)),
-                             mu)
-            done_n = e_0 <= opts.tol
-
             if opts.debug:
                 jax.debug.print(
                     "it={it} mu={mu:.2e} a={a:.2e} amax={am:.2e} acc={acc} slv={slv} "
                     "|dX|={ndx:.2e} |dU|={ndu:.2e} nupen={np:.2e} psi0={p0:.3e} "
-                    "kkt={k:.3e} feas={f:.2e}",
+                    "kkt={k:.3e} feas={f:.2e} done={d}",
                     it=st.it, mu=mu, a=alpha, am=alpha_max, acc=accepted, slv=solvable,
                     ndx=jnp.max(jnp.abs(dX)), ndu=jnp.max(jnp.abs(dU)),
-                    np=nu_pen, p0=psi0, k=e_0, f=feas)
+                    np=nu_pen, p0=psi0, k=e_0, f=feas, d=done_now)
 
             new = _SState(X=X_n, U=U_n, S=S_n, lam=lam_n, nus=nus_n,
                           zlx=zlx_n, zux=zux_n, zlu=zlu_n, zuu=zuu_n,
-                          zls=zls_n, zus=zus_n, mu=mu_n, nu_pen=nu_pen,
-                          delta=delta_n, it=st.it + 1, done=done_n,
+                          zls=zls_n, zus=zus_n, mu=mu, nu_pen=nu_pen,
+                          delta=delta_n, it=st.it + 1, done=jnp.asarray(False),
                           kkt0=e_0, feas=feas)
+            stay = st._replace(done=jnp.asarray(True), kkt0=e_0, feas=feas)
+            cand = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(done_now, a, b), stay, new)
             return jax.tree_util.tree_map(
-                lambda o, nn: jnp.where(st.done, o, nn), st, new)
+                lambda o, nn: jnp.where(st.done, o, nn), st, cand)
 
         def cond(st):
             return (~st.done) & (st.it < opts.max_iter)
