@@ -207,9 +207,30 @@ def _make_kernel(N, nxa, nu, interpret=False):
     nzz = nz * nz
 
     def call(Hs, q, A, B, rd, PN, pN, delta):
-        # inputs already lane-packed: trailing axis = 128
+        # inputs lane-packed with trailing axis T (a multiple of 128);
+        # grid-tile the lane axis so each program handles one 128-lane tile
+        # entirely in VMEM
         T = Hs.shape[-1]
-        grid = (1,)
+        n_tiles = T // _LANES
+        L = _LANES
+
+        def bs2(d0):
+            return pl.BlockSpec((d0, L), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+        def bs3(d0, d1):
+            return pl.BlockSpec((d0, d1, L), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)
+
+        in_specs = [
+            bs3(N, nz * nz),      # Hs
+            bs3(N, nz),           # q
+            bs3(N, nxa * nxa),    # A
+            bs3(N, nxa * nu),     # B
+            bs3(N, nxa),          # rd
+            bs2(nxa * nxa),       # PN
+            bs2(nxa),             # pN
+            bs2(1),               # delta
+        ]
         out_shape = (
             jax.ShapeDtypeStruct((1, T), Hs.dtype),            # ok
             jax.ShapeDtypeStruct((N, nu * nxa, T), Hs.dtype),  # Ks
@@ -219,16 +240,19 @@ def _make_kernel(N, nxa, nu, interpret=False):
             jax.ShapeDtypeStruct((N + 1, nxa, T), Hs.dtype),   # dX
             jax.ShapeDtypeStruct((N, nu, T), Hs.dtype),        # dU
         )
-        specs = [pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM)] * 8
-        out_specs = tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(7))
+        out_specs = (
+            bs2(1), bs3(N, nu * nxa), bs3(N, nu), bs3(N, nxa * nxa),
+            bs3(N, nxa), bs3(N + 1, nxa), bs3(N, nu),
+        )
         return pl.pallas_call(
             kernel,
+            grid=(n_tiles,),
             out_shape=out_shape,
-            in_specs=specs,
+            in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((nxa * nxa, T), Hs.dtype),
-                pltpu.VMEM((nxa, T), Hs.dtype),
+                pltpu.VMEM((nxa * nxa, L), Hs.dtype),
+                pltpu.VMEM((nxa, L), Hs.dtype),
             ],
             interpret=interpret,
         )(Hs, q, A, B, rd, PN, pN, delta)
