@@ -36,7 +36,7 @@ def main():
     )
     from mpc_code_tpu.solver.riccati import build_structured_ocp, make_structured_solver
 
-    B = int(os.environ.get("BENCH_BATCH", "2048"))
+    B = int(os.environ.get("BENCH_BATCH", "8192"))
     N = int(os.environ.get("BENCH_N", "50"))
     REPS = int(os.environ.get("BENCH_REPS", "3"))  # best-of timing
 

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-_LANES = 128
+_LANES = int(os.environ.get("MPC_TPU_PALLAS_TILE", "128"))
 
 
 # ---------------------------------------------------------------------------
