@@ -148,5 +148,25 @@ def main():
     }))
 
 
+def _main_with_retry():
+    # The remote-TPU ('axon') backend registration and remote compiles fail
+    # or hang intermittently; a fresh interpreter usually recovers.  Re-exec
+    # up to BENCH_RETRIES times so the driver's single invocation still
+    # lands a number.
+    tries = int(os.environ.get("_BENCH_TRY", "0"))
+    max_tries = int(os.environ.get("BENCH_RETRIES", "3"))
+    try:
+        main()
+    except Exception as e:  # backend init / remote-compile failures
+        print(f"# bench attempt {tries + 1} failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        if tries + 1 >= max_tries:
+            raise
+        time.sleep(30)
+        env = dict(os.environ)
+        env["_BENCH_TRY"] = str(tries + 1)
+        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()

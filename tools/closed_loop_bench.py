@@ -1,0 +1,73 @@
+"""Batched closed-loop throughput: full MPC steps (estimate + target NLP +
+OCP NLP + plant) per second for a batch of scenarios on one chip.
+
+Complements bench.py (cold-start OCP solves/s): here every step after the
+first is warm-started by the shifted previous solution, which is the
+deployed-use iteration regime.
+
+Usage: python tools/closed_loop_bench.py [batch] [steps]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "__graft_entry__.py"))
+    ge = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ge)
+
+    from mpc_code_tpu.parallel import batched_closed_loop
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+
+    from mpc_code_tpu.config import SolverOptions
+
+    f32_opts = SolverOptions(max_iter=25, tol=1e-3, constr_viol_tol=1e-3,
+                             hessian="gauss_newton")
+    cfg = ge._small_cfg(N=20).replace(sol_opts_dyn=f32_opts,
+                                      sol_opts_ss=SolverOptions(
+                                          max_iter=25, tol=1e-3,
+                                          constr_viol_tol=1e-3))
+    rng = np.random.default_rng(0)
+    x0s = (np.tile(np.asarray(cfg.x0_p, float), (B, 1))
+           + rng.normal(scale=0.2, size=(B, cfg.nx))).astype(np.float32)
+
+    t0 = time.time()
+    carry, out = batched_closed_loop(cfg, x0s, n_steps=steps,
+                                     ysp=np.array([0.2, 0.0, 0.0]))
+    np.asarray(carry.x)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    carry, out = batched_closed_loop(cfg, x0s + np.float32(1e-4), n_steps=steps,
+                                     ysp=np.array([0.2, 0.0, 0.0]))
+    np.asarray(carry.x)
+    run_s = time.time() - t0
+
+    st = np.asarray(out.status_dyn)
+    iters = np.asarray(out.ocp_iters)
+    lane_steps = B * steps
+    print(f"# compile={compile_s:.1f}s run={run_s:.2f}s batch={B} steps={steps} "
+          f"ok={(st != 2).sum()}/{st.size} warm med_iters={np.median(iters[1:]):.0f} "
+          f"platform={jax.devices()[0].platform}")
+    print(f"closed-loop MPC steps/s/chip: {lane_steps / run_s:,.0f} "
+          f"(each = KF estimate + target NLP + OCP NLP + plant step)")
+
+
+if __name__ == "__main__":
+    main()
