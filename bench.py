@@ -47,17 +47,12 @@ def main():
     # instability", Ex_NMPC_dis.py:75-77): the raw Arrhenius CSTR overflows
     # f32 within one interval once T runs away, which would otherwise poison
     # rollout-based solves from transient/infeasible iterates.
-    from mpc_code_tpu.examples.nmpc import model_fxm
     import dataclasses as _dc
-    import jax.numpy as _jnp
 
-    _lo = _jnp.asarray(np.array([0.0, 280.0, 0.4], np.float32))
-    _hi = _jnp.asarray(np.array([2.0, 420.0, 1.0], np.float32))
-
-    def _fx_sat(x, u, d, t, px):
-        return model_fxm(_jnp.clip(x, _lo, _hi), u, d, t, px)
-
-    cfg = cfg.replace(model=_dc.replace(cfg.model, fx=_fx_sat))
+    cfg = cfg.replace(model=_dc.replace(
+        cfg.model,
+        clip_lo=np.array([0.0, 280.0, 0.4], np.float32),
+        clip_hi=np.array([2.0, 420.0, 1.0], np.float32)))
     model = build_model(cfg)
     f_obj = build_stage_cost(cfg.stage_cost)
     vfin = build_terminal_cost(cfg)

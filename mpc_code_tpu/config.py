@@ -57,12 +57,20 @@ class ContinuousModel:
     """Continuous-time state map integrated with RK4 and ``Mx`` sub-steps.
 
     Reference form: Utilities.py:157-183 (`User_fxm_Cont` + simpleRK).
+
+    clip_lo/clip_hi optionally saturate the ODE *input* state to a physical
+    envelope before evaluating fx — the same numerical-stability guard the
+    reference builds into its tank model (`if_else` clipping,
+    Ex_NMPC_dis.py:75-77); essential for stiff models (e.g. Arrhenius
+    ignition) in f32 on TPU.
     """
 
     fx: Callable  # fx(x, u, d, t, px) -> dx/dt
     Mx: int = 10
     fy: Optional[Callable] = None  # fy(x, u, d, t, py) -> y
     C: Optional[Array] = None
+    clip_lo: Optional[Array] = None
+    clip_hi: Optional[Array] = None
 
 
 @dataclass

@@ -80,7 +80,20 @@ def build_model(cfg: MPCConfig) -> ModelFns:
             return out + px                                    # Utilities.py:153 (always)
 
     elif isinstance(m, ContinuousModel):
-        integ = rk4(lambda xx, tt, uu, dd, pp: m.fx(xx, uu, dd, tt, pp), m.Mx)
+        if m.clip_lo is not None or m.clip_hi is not None:
+            lo = jnp.asarray(m.clip_lo, dtype=float) if m.clip_lo is not None else -jnp.inf
+            hi = jnp.asarray(m.clip_hi, dtype=float) if m.clip_hi is not None else jnp.inf
+            user_fx = m.fx
+
+            def _fx_sat(xx, uu, dd, tt, pp):
+                # ODE-input saturation (the reference's own stability guard
+                # pattern, Ex_NMPC_dis.py:75-77)
+                return user_fx(jnp.clip(xx, lo, hi), uu, dd, tt, pp)
+
+            fx_eval = _fx_sat
+        else:
+            fx_eval = m.fx
+        integ = rk4(lambda xx, tt, uu, dd, pp: fx_eval(xx, uu, dd, tt, pp), m.Mx)
 
         def fx(x, u, k, d, t, px):
             out = integ(x, t, k, u, d, px)                     # Utilities.py:157-172

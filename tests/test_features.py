@@ -124,3 +124,31 @@ def test_estimating_mode_with_kf():
     # history convention (same as the reference): X_HAT[k] holds the
     # correction from step k-1, i.e. xhat(k-1|k-1) — compare against Xp[k-1]
     assert np.abs(H["X_HAT"][-1] - H["Xp"][-2]).max() < 0.02
+
+
+def test_continuous_model_state_saturation():
+    # ContinuousModel.clip_lo/clip_hi saturates the ODE input (the
+    # reference's Ex_NMPC_dis.py:75-77 stability-guard pattern): an
+    # ignition-prone rollout stays finite with the guard
+    import dataclasses
+    import jax.numpy as jnp
+
+    from mpc_code_tpu.examples.nmpc import make_config
+    from mpc_code_tpu.models import build_model
+
+    cfg = make_config()
+    hot = jnp.asarray(np.array([0.91, 336.0, 0.55]))
+    us = jnp.asarray(np.array([300.157, 0.1]))
+    d = jnp.asarray(np.array([0.0, 0.1]))
+
+    raw = build_model(cfg)
+    guarded = build_model(cfg.replace(model=dataclasses.replace(
+        cfg.model, clip_lo=np.array([0.0, 280.0, 0.4]),
+        clip_hi=np.array([2.0, 420.0, 1.0]))))
+
+    x_raw, x_g = hot, hot
+    for _ in range(8):
+        x_raw = raw.fx(x_raw, us, cfg.h, d, 0.0, jnp.zeros(3))
+        x_g = guarded.fx(x_g, us, cfg.h, d, 0.0, jnp.zeros(3))
+    assert not np.isfinite(np.asarray(x_raw)).all()   # raw model ignites
+    assert np.isfinite(np.asarray(x_g)).all()         # guard keeps it finite
