@@ -152,3 +152,31 @@ def test_continuous_model_state_saturation():
         x_g = guarded.fx(x_g, us, cfg.h, d, 0.0, jnp.zeros(3))
     assert not np.isfinite(np.asarray(x_raw)).all()   # raw model ignites
     assert np.isfinite(np.asarray(x_g)).all()         # guard keeps it finite
+
+
+def test_duform_econ():
+    # DUFormEcon: us slot of the economic stage cost receives Delta-u
+    # (reference: Control_Calc.py:183; Default_Values.py:99)
+    def f_dis(x, u, y, xs, us, ys):
+        # tracking + Delta-u penalty through the us slot
+        return (x - xs) @ (x - xs) + 10.0 * (us @ us)
+
+    cfg = _base(stage_cost=StageCost(f_dis=f_dis), DUFormEcon=True)
+    H = ClosedLoop(cfg).run()
+    assert (np.asarray(H["STATUS_DYN"]) != 2).all()
+    # heavy Delta-u penalty: input moves smoothly
+    du = np.abs(np.diff(H["U"], axis=0))
+    assert du.max() < 1.0
+
+
+def test_kalss_auto_gain_closed_loop():
+    # kind='kalss' with no user K computes the steady-state Kalman gain from
+    # the DARE on the augmented pair (reference: MPC_code.py:339-363)
+    cfg = _base(estimator=EstimatorConfig(
+        kind="kalss", Q_kf=np.eye(4), R_kf=0.01 * np.eye(2)))
+    H = ClosedLoop(cfg).run()
+    assert (np.asarray(H["STATUS_DYN"]) != 2).all()
+    # offset-free: with the y2-bound-free default config the loop tracks the
+    # constrained equilibrium direction
+    assert np.isfinite(H["Yp"]).all()
+    assert np.abs(H["D_HAT"][-1]).max() < 1.0
