@@ -61,7 +61,8 @@ def main():
     opts = SolverOptions(max_iter=int(os.environ.get("BENCH_MAXIT", "40")),
                          tol=float(os.environ.get("BENCH_TOL", "1e-3")),
                          constr_viol_tol=1e-3,
-                         hessian=os.environ.get("BENCH_HESS", "gauss_newton"))
+                         hessian=os.environ.get("BENCH_HESS", "gauss_newton"),
+                         mu_strategy=os.environ.get("BENCH_MU", "monotone"))
     solve = make_structured_solver(socp, opts,
                                    parallel=os.environ.get("BENCH_PAR", "0") == "1")
 

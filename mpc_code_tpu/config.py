@@ -288,6 +288,25 @@ class SolverOptions:
     # lam' d2(dyn) from the stage Hessian (the analog of the reference's
     # ipopt hessian_constant option for QP costs, Default_Values.py:103-105)
     hessian: str = "exact"
+    # 'monotone' (Fiacco-McCormick, IPOPT default) | 'adaptive' (LOQO
+    # centrality rule, the analog of IPOPT's mu_strategy=adaptive): mu is
+    # set each iteration from the average complementarity and a centrality
+    # measure instead of a monotone ladder — fewer iterations on warm-started
+    # QP-like problems. Structured (Riccati) solver only.
+    mu_strategy: str = "monotone"
+
+    @classmethod
+    def for_f32(cls, max_iter: int = 30, hessian: str = "exact",
+                **kw) -> "SolverOptions":
+        """Tolerances reachable in single precision (TPU has no f64).
+
+        tol=1e-8 is below f32 roundoff for typical KKT residuals; lanes
+        would spin to max_iter. 1e-3 on the scaled KKT norm corresponds to
+        ~1e-4..1e-5 unscaled input error on the benchmark problems.
+        """
+        kw.setdefault("tol", 1e-3)
+        kw.setdefault("constr_viol_tol", 1e-3)
+        return cls(max_iter=max_iter, hessian=hessian, **kw)
 
 
 @dataclass

@@ -82,6 +82,12 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
         solve = jax.jit(make_solver(nlp))
         batched = jax.jit(jax.vmap(make_solver(nlp), in_axes=(0, 0, None, None, None, None)))
     """
+    # hessian='gauss_newton' is accepted but this dense path always uses the
+    # exact Lagrangian Hessian (GN is a structured-solver speed lever; the
+    # dense solver is the correctness oracle)
+    if opts.hessian not in ("exact", "gauss_newton"):
+        raise ValueError(f"unknown hessian {opts.hessian!r}: "
+                         "use 'exact' or 'gauss_newton'")
     nw, ng = nlp.nw, nlp.ng
     nz = nw + ng
 

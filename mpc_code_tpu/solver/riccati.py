@@ -258,6 +258,12 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
     X0 (N+1, nxa), U0 (N, nu) warm starts; X0[0] is overwritten by the
     pinned initial state from p.
     """
+    if opts.mu_strategy not in ("monotone", "adaptive"):
+        raise ValueError(f"unknown mu_strategy {opts.mu_strategy!r}: "
+                         "use 'monotone' or 'adaptive'")
+    if opts.hessian not in ("exact", "gauss_newton"):
+        raise ValueError(f"unknown hessian {opts.hessian!r}: "
+                         "use 'exact' or 'gauss_newton'")
     N, nxa, nu, ni = s.N, s.nxa, s.nu, s.ni
     nz = nxa + nu
 
@@ -478,6 +484,29 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                            jnp.maximum(opts.tol / 10.0,
                                        jnp.minimum(_KAPPA_MU * st.mu, st.mu ** _THETA_MU)),
                            st.mu)
+            if opts.mu_strategy == "adaptive":
+                # LOQO centrality rule (IPOPT mu_strategy=adaptive analog,
+                # quality_function=loqo): mu = sigma * avg-complementarity,
+                # sigma = 0.1 min(0.05 (1-xi)/xi, 2)^3 with centrality
+                # xi = min_i(c_i)/avg(c_i) over all bound products c_i.
+                def cprods(z, zl, zu, lb, ub, hl, hu):
+                    cl = jnp.where(hl, (z - lb) * zl, jnp.nan)
+                    cu = jnp.where(hu, (ub - z) * zu, jnp.nan)
+                    return jnp.concatenate([cl.ravel(), cu.ravel()])
+
+                cv = jnp.concatenate(
+                    [cprods(X[1:], st.zlx[1:], st.zux[1:], lbx, ubx, hlx, hux),
+                     cprods(U, st.zlu, st.zuu, lbu, ubu, hlu, huu)]
+                    + ([cprods(S, st.zls, st.zus, lbi, ubi, hli, hui)] if ni else []))
+                cm = jnp.isfinite(cv)
+                m_cnt = jnp.sum(cm)
+                avg_c = jnp.sum(jnp.where(cm, cv, 0.0)) / jnp.maximum(m_cnt, 1)
+                xi = (jnp.min(jnp.where(cm, cv, jnp.inf), initial=jnp.inf)
+                      / jnp.maximum(avg_c, tiny))
+                sigma = 0.1 * jnp.minimum(
+                    0.05 * (1.0 - xi) / jnp.maximum(xi, 1e-6), 2.0) ** 3
+                mu_ad = jnp.clip(sigma * avg_c, opts.tol / 10.0, 1e4)
+                mu = jnp.where(m_cnt > 0, mu_ad, mu)
 
             # barrier sigma/gradients for X (stages 1..N), U, S
             def sig(z, zl, zu, lb, ub, hl, hu):

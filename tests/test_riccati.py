@@ -122,6 +122,27 @@ def test_structured_vmap_batch():
     assert np.asarray(res.kkt_err).max() < 1e-7
 
 
+def test_adaptive_mu_matches_monotone():
+    # mu_strategy='adaptive' (LOQO centrality rule) reaches the same KKT
+    # point as the monotone Fiacco-McCormick schedule, in no more iterations
+    N = 12
+    cfg, model, f_obj, vfin = _setup(N)
+    socp = build_structured_ocp(cfg, model, f_obj, vfin)
+    mono = jax.jit(make_structured_solver(
+        socp, SolverOptions(max_iter=100, tol=1e-8)))
+    adap = jax.jit(make_structured_solver(
+        socp, SolverOptions(max_iter=100, tol=1e-8, mu_strategy="adaptive")))
+    x0 = np.array([0.6, 330.0, 0.60])
+    par_p, us = _par(cfg, N, x0)
+    X0 = jnp.tile(jnp.asarray(x0), (N + 1, 1))
+    U0 = jnp.tile(jnp.asarray(us), (N, 1))
+    r1 = mono(par_p, X0, U0)
+    r2 = adap(par_p, X0, U0)
+    assert int(r1.status) == 0 and int(r2.status) == 0
+    assert np.abs(np.asarray(r1.U) - np.asarray(r2.U)).max() < 1e-5
+    assert int(r2.iters) <= int(r1.iters)
+
+
 def test_parallel_scan_matches_sequential():
     # associative-scan Riccati vs sequential recursion: same KKT point at
     # moderate tolerance (the parallel path carries a permanent 1e-6

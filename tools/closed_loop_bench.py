@@ -37,12 +37,9 @@ def main():
 
     from mpc_code_tpu.config import SolverOptions
 
-    f32_opts = SolverOptions(max_iter=25, tol=1e-3, constr_viol_tol=1e-3,
-                             hessian="gauss_newton")
-    cfg = ge._small_cfg(N=20).replace(sol_opts_dyn=f32_opts,
-                                      sol_opts_ss=SolverOptions(
-                                          max_iter=25, tol=1e-3,
-                                          constr_viol_tol=1e-3))
+    cfg = ge._small_cfg(N=20).replace(
+        sol_opts_dyn=SolverOptions.for_f32(max_iter=25, hessian="gauss_newton"),
+        sol_opts_ss=SolverOptions.for_f32(max_iter=25))
     rng = np.random.default_rng(0)
     x0s = (np.tile(np.asarray(cfg.x0_p, float), (B, 1))
            + rng.normal(scale=0.2, size=(B, cfg.nx))).astype(np.float32)
