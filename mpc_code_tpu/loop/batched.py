@@ -87,10 +87,10 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
     target_solve = make_solver(tspec.nlp, cfg.sol_opts_ss)
 
     # structured Riccati fast path for the OCP when the feature set allows
-    # it; dense IPM fallback otherwise
-    use_structured = not (cfg.ContForm or cfg.Collocation or cfg.slacks
-                          or cfg.TermCons or cfg.G_ineq is not None
-                          or cfg.H_eq is not None)
+    # it (incl. soft output constraints via constant-slack augmentation);
+    # dense IPM fallback otherwise
+    use_structured = not (cfg.ContForm or cfg.Collocation or cfg.TermCons
+                          or cfg.G_ineq is not None or cfg.H_eq is not None)
     if use_structured:
         from mpc_code_tpu.solver.riccati import (
             build_structured_ocp, make_structured_solver,
@@ -98,7 +98,9 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
 
         socp = build_structured_ocp(cfg, model, f_obj, vfin)
         struct_solve = make_structured_solver(socp, cfg.sol_opts_dyn)
-        du_aug = socp.nxa > nx
+        ns_s = socp.ns
+        nup = socp.nxa - nx - ns_s
+        du_aug = nup > 0
     else:
         ocp_solve = make_solver(ospec.nlp, cfg.sol_opts_dyn)
 
@@ -181,19 +183,31 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
                    lam=zero_lam, px=px_h, py=py_h)
         if use_structured:
             body0 = w0[: N * nxu].reshape(N, nxu)
-            Xg = jnp.concatenate([body0[:, :nx], w0[N * nxu :][None]], axis=0)
+            Xg = jnp.concatenate([body0[:, :nx], w0[N * nxu : N * nxu + nx][None]],
+                                 axis=0)
             Ug = body0[:, nx:]
             if du_aug:
                 Uprev = jnp.concatenate([c.u[None], Ug[:-1]], axis=0)
                 Xg = jnp.concatenate(
                     [Xg, jnp.concatenate([Uprev, Ug[-1:]], axis=0)], axis=1)
+            if ns_s:
+                Sl_prev = w0[nw - ns : nw][:ns_s]
+                Xg = jnp.concatenate([Xg, jnp.tile(Sl_prev, (N + 1, 1))], axis=1)
+                Ug = jnp.concatenate([Ug, jnp.tile(Sl_prev, (N, 1))], axis=1)
             rs = struct_solve(par, Xg, Ug)
             ok = rs.status != STATUS_INFEASIBLE
-            u_k = jnp.where(ok, rs.U[0], c.u)             # MPC_code.py:786-805
+            u_k = jnp.where(ok, rs.U[0, :nu], c.u)        # MPC_code.py:786-805
             xhat_next = jnp.where(ok, rs.X[1, :nx],
                                   model.fx(xhat, c.u, cfg.h, dhat, t_k, px0))
-            body_n = jnp.concatenate([rs.X[:N, :nx], rs.U], axis=1).reshape(-1)
-            w_new = jnp.concatenate([body_n, rs.X[N, :nx]])
+            body_n = jnp.concatenate([rs.X[:N, :nx], rs.U[:, :nu]],
+                                     axis=1).reshape(-1)
+            # flat-layout Sl tail: the solved slack (carried state at stage
+            # 1), zero-padded if the dense layout reserves more slots (e.g.
+            # slacks=True with no y bounds)
+            tail = ([rs.X[1, nx + nup : nx + nup + ns_s]] if ns_s else [])
+            if ns > ns_s:
+                tail.append(jnp.zeros(ns - ns_s, dtype=w0.dtype))
+            w_new = jnp.concatenate([body_n, rs.X[N, :nx]] + tail)
             w_prev = jnp.where(ok, w_new, c.w_prev)
         else:
             lbw = o_lbw.at[:nx].set(xhat)
@@ -238,11 +252,18 @@ def init_carry(cfg: MPCConfig, x0=None) -> MPCCarry:
     P0 = (jnp.asarray(np.asarray(cfg.estimator.P0, float))
           if cfg.estimator.P0 is not None else jnp.zeros((naug, naug)))
     N, nxu = cfg.N, nx + nu
-    ns = 0  # slack-free fast path
+    if cfg.slacks:
+        from mpc_code_tpu.ocp.shooting import _user_constraint_dim
+
+        ns = (2 * cfg.ny + _user_constraint_dim(cfg.G_ineq, cfg)
+              + _user_constraint_dim(cfg.H_eq, cfg))
+    else:
+        ns = 0
     nw = nxu * N + nx + ns
     w0 = jnp.zeros(nw)
     body = w0[: N * nxu].reshape(N, nxu)
     body = body.at[:, :nx].set(x0_m).at[:, nx:].set(u0)
-    w0 = w0.at[: N * nxu].set(body.reshape(-1)).at[N * nxu :].set(x0_m)
+    w0 = (w0.at[: N * nxu].set(body.reshape(-1))
+          .at[N * nxu : N * nxu + nx].set(x0_m))   # Sl tail (if any) stays 0
     return MPCCarry(x=x0, xhat=x0_m, dhat=dhat0, P=P0, u=u0, xs=x0_m, us=u0,
                     w_prev=w0, ocp_ok=jnp.asarray(True), t=jnp.asarray(0.0))

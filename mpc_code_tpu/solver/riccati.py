@@ -15,11 +15,12 @@ iteration, but with
 - batched (N, nz, nz) tensor shapes that map onto the MXU when `vmap`ped
   over scenario lanes.
 
-Scope: multiple-shooting OCPs without slacks/ContForm/collocation/terminal
-equality/user g-h (the bench and most closed-loop workloads); Delta-u
-bounds are supported via state augmentation with u_{k-1}.  The generic
-dense solver remains the fallback for everything else, and is the
-correctness oracle in tests.
+Scope: multiple-shooting OCPs without ContForm/collocation/terminal
+equality/user g-h (the bench and most closed-loop workloads).  Delta-u
+bounds are supported via state augmentation with u_{k-1}; shared soft-
+constraint slacks via a constant-slack augmentation (decided at stage 0,
+carried as extra states).  The generic dense solver remains the fallback
+for everything else, and is the correctness oracle in tests.
 
 Reference context: replaces IPOPT+MUMPS sparse LU on the OCP NLP
 (Control_Calc.py:258) with dense block factorizations — better than sparse
@@ -74,6 +75,8 @@ class StructuredOCP:
     sxa: np.ndarray             # per-variable scales (augmented state)
     su: np.ndarray
     si: np.ndarray
+    ns: int = 0                 # shared slack count folded into xa/u tails
+    nu_ctrl: int = 0            # true control count (nu minus slack slots)
 
 
 class StructResult(NamedTuple):
@@ -92,7 +95,7 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin) -> Struct
     Uses the same parameter pytree as `build_ocp`:
     {x0, xs, us, d, um1, t, lam, px (N,npx), py (N,npy)}.
     """
-    if cfg.ContForm or cfg.Collocation or cfg.slacks or cfg.TermCons:
+    if cfg.ContForm or cfg.Collocation or cfg.TermCons:
         raise ValueError("structured path: unsupported OCP features")
     if cfg.G_ineq is not None or cfg.H_eq is not None:
         raise ValueError("structured path: user constraints unsupported")
@@ -111,26 +114,65 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin) -> Struct
     umin = b.resolved("dyn", "umin")
     umax = b.resolved("dyn", "umax")
 
-    nxa = nx + (nu if du_coupled else 0)
-    ni = (0 if y_free else ny) + (nu if du_bounds else 0)
+    # --- shared soft-constraint slacks (reference Control_Calc.py:187,
+    # 217, 232-239): ONE slack pair Sl = [s_ub (ny); s_lb (ny)] >= 0
+    # relaxes the output bounds at every stage, with a quadratic penalty
+    # N * Sl'Ws Sl added once.  A horizon-shared variable breaks stagewise
+    # decoupling, so it is folded into the Riccati structure as a
+    # constant-state augmentation: the slack is DECIDED by extra input
+    # slots at stage 0 and CARRIED by extra state slots thereafter
+    #   s_{k+1} = (k == 0) ? s_in : s_k.
+    # Stage-0 inequality rows read the input copy; stages >= 1 read the
+    # carried state.  The dummy input slots at stages >= 1 get a decoupled
+    # 0.5|s|^2 penalty so Quu stays positive definite.  (The reference's
+    # big-M replacement of infinite y bounds, Control_Calc.py:64-73, is
+    # unnecessary here: an infinite row bound simply contributes no
+    # barrier term.)
+    slacks = bool(cfg.slacks) and not y_free
+    ns = 2 * ny if slacks else 0
+    if slacks:
+        if cfg.Ws is None:
+            raise ValueError("slacks=True requires Ws")
+        Ws_j = jnp.asarray(np.asarray(cfg.Ws, float)[:ns, :ns])
+
+    nup = nu if du_coupled else 0
+    nxa = nx + nup + ns
+    nu_eff = nu + ns
+    ni = (0 if y_free else ((2 * ny) if slacks else ny)) + (nu if du_bounds else 0)
 
     def split(xa):
-        return (xa[:nx], xa[nx:]) if du_coupled else (xa, None)
+        """xa = [x; (u_prev); (s_carried)] -> (x, u_prev|None, s|None)."""
+        x = xa[:nx]
+        uprev = xa[nx : nx + nup] if du_coupled else None
+        s_st = xa[nx + nup :] if slacks else None
+        return x, uprev, s_st
 
-    def dyn(xa, u, k, p):
-        x, _ = split(xa)
+    def split_u(ua):
+        """ua = [u; (s_in)] -> (u, s_in|None)."""
+        return (ua[:nu], ua[nu:]) if slacks else (ua, None)
+
+    def dyn(xa, ua, k, p):
+        x, _, s_st = split(xa)
+        u, s_in = split_u(ua)
         xn = model.fx(x, u, cfg.h, p["d"], p["t"], p["px"][k])
-        return jnp.concatenate([xn, u]) if du_coupled else xn
+        parts = [xn]
+        if du_coupled:
+            parts.append(u)
+        if slacks:
+            parts.append(jnp.where(k == 0, s_in, s_st))
+        return jnp.concatenate(parts) if len(parts) > 1 else xn
 
-    def y_of(xa, u, k, p):
-        x, _ = split(xa)
+    def y_of(xa, ua, k, p):
+        x, _, _ = split(xa)
+        u, _ = split_u(ua)
         return model.fy(x, u, p["d"], p["t"], p["py"][k]) + p["lam"] @ (u - p["us"])
 
-    def cost(xa, u, k, p):
-        x, _ = split(xa)
-        yk = y_of(xa, u, k, p)
+    def cost(xa, ua, k, p):
+        x, uprev, _ = split(xa)
+        u, s_in = split_u(ua)
+        yk = y_of(xa, ua, k, p)
         ys = model.fy(p["xs"], p["us"], p["d"], p["t"], p["py"][0])
-        um1 = jnp.where(k == 0, p["um1"], split(xa)[1] if du_coupled else p["um1"])
+        um1 = jnp.where(k == 0, p["um1"], uprev if du_coupled else p["um1"])
         du_k = u - um1
         dx, du, dy = x, u, yk
         if cfg.QForm:
@@ -140,43 +182,79 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin) -> Struct
         if cfg.DUForm:
             du = du_k
         us_obj = du_k if cfg.DUFormEcon else p["us"]
-        return f_obj(dx, du, dy, p["xs"], us_obj, ys)
+        val = f_obj(dx, du, dy, p["xs"], us_obj, ys)
+        if slacks:
+            # real penalty once (stage 0); PD dummy penalty elsewhere
+            val = val + jnp.where(k == 0, N_h * (s_in @ (Ws_j @ s_in)),
+                                  0.5 * (s_in @ s_in))
+        return val
 
     def cost_N(xa, p):
-        x, _ = split(xa)
+        x, _, _ = split(xa)
         dxN = x - p["xs"] if cfg.QForm else x
         return vfin(dxN, p["xs"])
 
+    N_h = cfg.N
+
     if ni:
-        def ineq(xa, u, k, p):
+        def ineq(xa, ua, k, p):
+            _, uprev, s_st = split(xa)
+            u, s_in = split_u(ua)
             rows = []
             if not y_free:
-                rows.append(y_of(xa, u, k, p))
+                yk = y_of(xa, ua, k, p)
+                if slacks:
+                    s_k = jnp.where(k == 0, s_in, s_st)
+                    # layout matches the reference: Sl[:ny] relaxes the
+                    # upper bound, Sl[ny:] the lower (Control_Calc.py:232-239)
+                    rows.append(yk + s_k[ny:])   # >= ymin
+                    rows.append(yk - s_k[:ny])   # <= ymax
+                else:
+                    rows.append(yk)
             if du_bounds:
-                um1 = jnp.where(k == 0, p["um1"], split(xa)[1])
+                um1 = jnp.where(k == 0, p["um1"], uprev)
                 rows.append(u - um1)
             return jnp.concatenate(rows)
     else:
         ineq = None
 
+    y_lo = (np.asarray(ymin, float).reshape(-1) if ymin is not None
+            else np.full(ny, -np.inf))
+    y_hi = (np.asarray(ymax, float).reshape(-1) if ymax is not None
+            else np.full(ny, np.inf))
+    if slacks:
+        y_rows_lo = [y_lo, np.full(ny, -np.inf)]
+        y_rows_hi = [np.full(ny, np.inf), y_hi]
+    else:
+        y_rows_lo, y_rows_hi = [y_lo], [y_hi]
     lbi = np.concatenate(
-        ([] if y_free else [np.asarray(ymin if ymin is not None else np.full(ny, -np.inf))])
+        ([] if y_free else y_rows_lo)
         + ([np.asarray(b.Dumin if b.Dumin is not None else np.full(nu, -np.inf), float).reshape(-1)]
            if du_bounds else [])) if ni else np.zeros(0)
     ubi = np.concatenate(
-        ([] if y_free else [np.asarray(ymax if ymax is not None else np.full(ny, np.inf))])
+        ([] if y_free else y_rows_hi)
         + ([np.asarray(b.Dumax if b.Dumax is not None else np.full(nu, np.inf), float).reshape(-1)]
            if du_bounds else [])) if ni else np.zeros(0)
 
     lbx = np.concatenate([xmin if xmin is not None else np.full(nx, -np.inf),
-                          np.full(nu, -np.inf) if du_coupled else np.zeros(0)])
+                          np.full(nup, -np.inf),
+                          np.zeros(ns)])                      # carried Sl >= 0
     ubx = np.concatenate([xmax if xmax is not None else np.full(nx, np.inf),
-                          np.full(nu, np.inf) if du_coupled else np.zeros(0)])
-    lbu = np.asarray(umin, float).reshape(-1) if umin is not None else np.full(nu, -np.inf)
-    ubu = np.asarray(umax, float).reshape(-1) if umax is not None else np.full(nu, np.inf)
+                          np.full(nup + ns, np.inf)])
+    lbu = np.concatenate(
+        [np.asarray(umin, float).reshape(-1) if umin is not None else np.full(nu, -np.inf),
+         np.zeros(ns)])                                       # Sl >= 0
+    ubu = np.concatenate(
+        [np.asarray(umax, float).reshape(-1) if umax is not None else np.full(nu, np.inf),
+         np.full(ns, np.inf)])
 
     def x0_of_p(p):
-        return (jnp.concatenate([p["x0"], p["um1"]]) if du_coupled else p["x0"])
+        parts = [p["x0"]]
+        if du_coupled:
+            parts.append(p["um1"])
+        if slacks:
+            parts.append(jnp.zeros(ns, dtype=p["x0"].dtype))  # inert slot
+        return jnp.concatenate(parts) if len(parts) > 1 else p["x0"]
 
     # --- per-variable scaling from the box bounds (f32-critical: the
     # reference problems mix states ~1e2 with states ~1e-1).  Internally the
@@ -214,12 +292,13 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin) -> Struct
     def x0_s(p):
         return raw_x0(p) / sxa_j
 
-    return StructuredOCP(N=cfg.N, nxa=nxa, nu=nu, ni=ni, dyn=dyn_s, cost=cost_s,
+    return StructuredOCP(N=cfg.N, nxa=nxa, nu=nu_eff, ni=ni, dyn=dyn_s, cost=cost_s,
                          cost_N=cost_N_s, ineq=ineq_s,
                          lbi=lbi / si, ubi=ubi / si,
                          lbx=lbx / sxa, ubx=ubx / sxa,
                          lbu=lbu / su, ubu=ubu / su,
-                         x0_of_p=x0_s, sxa=sxa, su=su, si=si)
+                         x0_of_p=x0_s, sxa=sxa, su=su, si=si,
+                         ns=ns, nu_ctrl=nu)
 
 
 class _SState(NamedTuple):

@@ -68,6 +68,32 @@ def test_soft_output_constraints_slacks():
     assert np.allclose(Hs["Yp"][-1], [0.36, 0.45], atol=0.02)
 
 
+def test_soft_constraints_batched_matches_host():
+    # the traced batched step routes slacks configs through the structured
+    # (constant-slack-augmented Riccati) solver; it must reproduce the
+    # host-driven dense loop input-for-input
+    import jax
+
+    from mpc_code_tpu.loop.batched import init_carry, make_mpc_step
+
+    ny = 2
+    bounds = Bounds(umin=np.array([-3.0]), umax=np.array([3.0]),
+                    ymin=np.array([-0.1, -0.1]), ymax=np.array([0.55, 0.45]))
+    x0 = np.array([1.0, 0.8])
+    cfg = _base(bounds=bounds, x0_p=x0, x0_m=x0, slacks=True,
+                Ws=10.0 * np.eye(2 * ny), Nsim=12)
+    H = ClosedLoop(cfg).run()
+
+    step = jax.jit(make_mpc_step(cfg, ysp=np.array([0.8, 0.4])))
+    c = init_carry(cfg)
+    us = []
+    for _ in range(12):
+        c, out = step(c)
+        us.append(float(out.u[0]))
+        assert int(out.status_dyn) != 2
+    assert np.abs(np.asarray(H["U"])[:, 0] - np.asarray(us)).max() < 1e-6
+
+
 def test_user_inequality_constraint():
     # stagewise user g(x,u,y,...) <= 0 (reference: MPC_code.py:306-314)
     def G_ineq(x, u, y, d, t, px, py):

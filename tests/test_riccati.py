@@ -122,6 +122,71 @@ def test_structured_vmap_batch():
     assert np.asarray(res.kkt_err).max() < 1e-7
 
 
+def test_structured_slacks_matches_dense():
+    # soft output constraints: the shared slack pair is folded into the
+    # Riccati structure as a constant-slack augmentation (decided at stage
+    # 0, carried as extra states); must agree with the dense IPM on the
+    # reference formulation (Control_Calc.py:187, 217, 232-239)
+    from mpc_code_tpu.config import (
+        Bounds, DisturbanceModel, EstimatorConfig, LinearModel, LinearPlant,
+        MPCConfig, SSCost, StageCost,
+    )
+
+    A = np.array([[0.85, 0.1], [0.0, 0.9]])
+    B = np.array([[0.2], [1.0]])
+    ny, N = 2, 10
+    cfg = MPCConfig(
+        nx=2, nu=1, ny=2, nd=2, Nsim=5, N=N, h=1.0,
+        model=LinearModel(A=A, B=B, C=np.eye(2)),
+        plant=LinearPlant(Ap=A, Bp=B, Cp=np.eye(2)),
+        dist=DisturbanceModel(offree="lin", Bd=np.zeros((2, 2)), Cd=np.eye(2)),
+        x0_p=np.array([1.0, 0.8]), x0_m=np.array([1.0, 0.8]), u0=np.zeros(1),
+        ss_cost=SSCost(Qss=np.eye(2), Rss=np.zeros((1, 1))),
+        stage_cost=StageCost(Q=np.eye(2), R=0.1 * np.eye(1)),
+        estimator=EstimatorConfig(kind="lue",
+                                  K=np.vstack([np.zeros((2, 2)), np.eye(2)])),
+        bounds=Bounds(umin=np.array([-3.0]), umax=np.array([3.0]),
+                      ymin=np.array([-0.1, -0.1]), ymax=np.array([0.55, 0.45])),
+        slacks=True, Ws=10.0 * np.eye(2 * ny),
+    )
+    model = build_model(cfg)
+    f_obj = build_stage_cost(cfg.stage_cost)
+    vfin = build_terminal_cost(cfg)
+    spec = build_ocp(cfg, model, f_obj, vfin)
+    socp = build_structured_ocp(cfg, model, f_obj, vfin)
+    assert socp.ns == 2 * ny and socp.nu == 1 + 2 * ny
+
+    dense = jax.jit(make_solver(spec.nlp, SolverOptions(max_iter=150)))
+    struct = jax.jit(make_structured_solver(socp, SolverOptions(max_iter=150)))
+
+    nx, nu = 2, 1
+    nxu = nx + nu
+    x0 = np.array([1.0, 0.8])   # outside ymax: slack must engage
+    par = dict(x0=jnp.asarray(x0), xs=jnp.asarray([0.36, 0.45]),
+               us=jnp.asarray([0.045]), d=jnp.zeros(2), um1=jnp.zeros(1),
+               t=jnp.asarray(0.0), lam=jnp.zeros((cfg.ny, cfg.nu)),
+               px=jnp.zeros((N, cfg.npx)), py=jnp.zeros((N, cfg.npy)))
+    lbw = spec.lbw.copy()
+    ubw = spec.ubw.copy()
+    lbw[:nx] = ubw[:nx] = x0
+    w0 = np.zeros(spec.nw)
+    for k in range(N + 1):
+        w0[k * nxu : k * nxu + nx] = x0
+    rd = dense(jnp.asarray(w0), par, lbw, ubw, spec.lbg, spec.ubg)
+    rs = struct(par, jnp.tile(jnp.asarray(np.concatenate([x0, np.zeros(socp.ns)])),
+                              (N + 1, 1)),
+                jnp.zeros((N, socp.nu)))
+    assert int(rd.status) == 0 and int(rs.status) == 0
+    wd = np.asarray(rd.w)
+    Ud = np.array([wd[k * nxu + nx : (k + 1) * nxu] for k in range(N)])
+    assert np.abs(Ud - np.asarray(rs.U)[:, :socp.nu_ctrl]).max() < 1e-6
+    Sl_d = wd[spec.nw - spec.ns :]
+    Sl_s = np.asarray(rs.X)[1, nx:]
+    assert np.abs(Sl_d - Sl_s).max() < 1e-3   # both ~[0.45, 0.35, 0, 0]
+    assert Sl_s[0] > 0.4                      # slack engaged
+    assert abs(float(rd.f) - float(rs.f)) < 1e-5 * abs(float(rd.f))
+
+
 def test_adaptive_mu_matches_monotone():
     # mu_strategy='adaptive' (LOQO centrality rule) reaches the same KKT
     # point as the monotone Fiacco-McCormick schedule, in no more iterations
