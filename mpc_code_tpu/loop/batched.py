@@ -87,10 +87,11 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
     target_solve = make_solver(tspec.nlp, cfg.sol_opts_ss)
 
     # structured Riccati fast path for the OCP when the feature set allows
-    # it (incl. soft output constraints via constant-slack augmentation);
-    # dense IPM fallback otherwise
-    use_structured = not (cfg.ContForm or cfg.Collocation or cfg.TermCons
-                          or cfg.G_ineq is not None or cfg.H_eq is not None)
+    # it (incl. soft output constraints via constant-slack augmentation and
+    # user stage inequalities); dense IPM fallback otherwise
+    from mpc_code_tpu.solver.riccati import structured_supported
+
+    use_structured = structured_supported(cfg)
     if use_structured:
         from mpc_code_tpu.solver.riccati import (
             build_structured_ocp, make_structured_solver,

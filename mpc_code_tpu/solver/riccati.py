@@ -53,6 +53,24 @@ _KAPPA_MU = 0.2
 _THETA_MU = 1.5
 
 
+def structured_supported(cfg: MPCConfig) -> bool:
+    """True when the OCP fits the stagewise Riccati structure.
+
+    Unsupported: ContForm quadrature, collocation, terminal equality, user
+    stage EQUALITIES (interior slack elimination needs strict interiors),
+    and slack-softened user inequalities (slacksG — the shared-slack
+    augmentation currently covers output bounds only).  User stage
+    inequalities G_ineq and shared output slacks are supported.
+    """
+    if cfg.ContForm or cfg.Collocation or cfg.TermCons:
+        return False
+    if cfg.H_eq is not None:
+        return False
+    if cfg.slacks and cfg.slacksG and cfg.G_ineq is not None:
+        return False
+    return True
+
+
 @dataclass(frozen=True)
 class StructuredOCP:
     """Stagewise OCP over augmented state xa (= x, or [x; u_prev])."""
@@ -95,10 +113,12 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin) -> Struct
     Uses the same parameter pytree as `build_ocp`:
     {x0, xs, us, d, um1, t, lam, px (N,npx), py (N,npy)}.
     """
-    if cfg.ContForm or cfg.Collocation or cfg.TermCons:
-        raise ValueError("structured path: unsupported OCP features")
-    if cfg.G_ineq is not None or cfg.H_eq is not None:
-        raise ValueError("structured path: user constraints unsupported")
+    if not structured_supported(cfg):
+        raise ValueError("structured path: unsupported OCP features "
+                         "(ContForm/Collocation/TermCons/H_eq/slacksG)")
+    from mpc_code_tpu.ocp.shooting import _user_constraint_dim
+
+    ng_user = _user_constraint_dim(cfg.G_ineq, cfg)
 
     nx, nu, ny = cfg.nx, cfg.nu, cfg.ny
     b = cfg.bounds
@@ -138,7 +158,8 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin) -> Struct
     nup = nu if du_coupled else 0
     nxa = nx + nup + ns
     nu_eff = nu + ns
-    ni = (0 if y_free else ((2 * ny) if slacks else ny)) + (nu if du_bounds else 0)
+    ni = ((0 if y_free else ((2 * ny) if slacks else ny))
+          + (nu if du_bounds else 0) + ng_user)
 
     def split(xa):
         """xa = [x; (u_prev); (s_carried)] -> (x, u_prev|None, s|None)."""
@@ -214,6 +235,13 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin) -> Struct
             if du_bounds:
                 um1 = jnp.where(k == 0, p["um1"], uprev)
                 rows.append(u - um1)
+            if ng_user:
+                # stagewise user inequality over the corrected output
+                # (Control_Calc.py / MPC_code.py:306-314; shooting.py g4 rows)
+                x = split(xa)[0]
+                yk = y_of(xa, ua, k, p)
+                rows.append(cfg.G_ineq(x, u, yk, p["d"], p["t"],
+                                       p["px"][k], p["py"][k]).reshape(-1))
             return jnp.concatenate(rows)
     else:
         ineq = None
@@ -230,11 +258,13 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin) -> Struct
     lbi = np.concatenate(
         ([] if y_free else y_rows_lo)
         + ([np.asarray(b.Dumin if b.Dumin is not None else np.full(nu, -np.inf), float).reshape(-1)]
-           if du_bounds else [])) if ni else np.zeros(0)
+           if du_bounds else [])
+        + ([np.full(ng_user, -np.inf)] if ng_user else [])) if ni else np.zeros(0)
     ubi = np.concatenate(
         ([] if y_free else y_rows_hi)
         + ([np.asarray(b.Dumax if b.Dumax is not None else np.full(nu, np.inf), float).reshape(-1)]
-           if du_bounds else [])) if ni else np.zeros(0)
+           if du_bounds else [])
+        + ([np.zeros(ng_user)] if ng_user else [])) if ni else np.zeros(0)
 
     lbx = np.concatenate([xmin if xmin is not None else np.full(nx, -np.inf),
                           np.full(nup, -np.inf),

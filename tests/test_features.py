@@ -106,6 +106,36 @@ def test_user_inequality_constraint():
     assert (s <= 1.0 + 1e-5).all()
 
 
+def test_user_inequality_batched_matches_host():
+    # G_ineq rows are stagewise-local, so the traced batched step solves
+    # them through the structured Riccati path; must match the host-driven
+    # dense loop
+    import jax
+
+    from mpc_code_tpu.loop.batched import init_carry, make_mpc_step
+    from mpc_code_tpu.solver.riccati import structured_supported
+
+    def G_ineq(x, u, y, d, t, px, py):
+        return jnp.atleast_1d(x[0] + x[1] - 1.0)
+
+    cfg = _base(G_ineq=G_ineq)
+    assert structured_supported(cfg)
+    H = ClosedLoop(cfg).run()
+
+    step = jax.jit(make_mpc_step(cfg, ysp=np.array([0.8, 0.4])))
+    c = init_carry(cfg)
+    us = []
+    for _ in range(cfg.Nsim):
+        c, out = step(c)
+        us.append(float(out.u[0]))
+        assert int(out.status_dyn) != 2
+    assert np.abs(np.asarray(H["U"])[:, 0] - np.asarray(us)).max() < 1e-5
+
+    # slack-softened user constraints stay on the dense fallback
+    assert not structured_supported(
+        _base(G_ineq=G_ineq, slacks=True, slacksG=True, Ws=np.eye(5)))
+
+
 def test_user_equality_constraint_ss():
     # steady-state user equality pins the target input (Target_Calc.py:91-106)
     def H_eq_SS(x, u, y, d, t, px, py):
