@@ -107,6 +107,10 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
 
     est = cfg.estimator
     kind = est.kind
+    if kind not in ("kalss", "lue", "kal", "ekf"):
+        # MHE's growing-horizon warmup is host-driven; use loop/simulator.py
+        raise ValueError(f"estimator kind {kind!r} unsupported in the traced "
+                         "batched step (supported: kalss, lue, kal, ekf)")
     if kind in ("kalss", "lue"):
         if cfg.StateFeedback and cfg.dist.offree == "no":
             K_gain = jnp.eye(aug.n)

@@ -56,13 +56,14 @@ _THETA_MU = 1.5
 def structured_supported(cfg: MPCConfig) -> bool:
     """True when the OCP fits the stagewise Riccati structure.
 
-    Unsupported: ContForm quadrature, collocation, terminal equality, user
-    stage EQUALITIES (interior slack elimination needs strict interiors),
-    and slack-softened user inequalities (slacksG — the shared-slack
-    augmentation currently covers output bounds only).  User stage
-    inequalities G_ineq and shared output slacks are supported.
+    Unsupported: collocation, terminal equality, user stage EQUALITIES
+    (interior slack elimination needs strict interiors), and slack-softened
+    user inequalities (slacksG — the shared-slack augmentation currently
+    covers output bounds only).  ContForm (continuous-quadrature economic
+    stage cost), user stage inequalities G_ineq and shared output slacks
+    are supported.
     """
-    if cfg.ContForm or cfg.Collocation or cfg.TermCons:
+    if cfg.Collocation or cfg.TermCons:
         return False
     if cfg.H_eq is not None:
         return False
@@ -122,10 +123,17 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin) -> Struct
 
     nx, nu, ny = cfg.nx, cfg.nu, cfg.ny
     b = cfg.bounds
+    cont_form = cfg.ContForm
     du_bounds = not (b.Dumin is None and b.Dumax is None)
     # state augmentation with u_{k-1} is needed whenever Delta-u appears in
     # bounds OR in the cost (DUForm / DUFormEcon)
     du_coupled = du_bounds or cfg.DUForm or cfg.DUFormEcon
+    if cont_form:
+        # ContForm ignores Delta-u rows and discrete cost forms, exactly as
+        # the dense transcription does (shooting.py: du rows skipped when
+        # cont_form; cost is the continuous quadrature)
+        du_bounds = False
+        du_coupled = False
     ymin = b.resolved("dyn", "ymin")
     ymax = b.resolved("dyn", "ymax")
     y_free = ymin is None and ymax is None
@@ -172,10 +180,37 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin) -> Struct
         """ua = [u; (s_in)] -> (u, s_in|None)."""
         return (ua[:nu], ua[nu:]) if slacks else (ua, None)
 
+    if cont_form:
+        # ContForm: integrate xdot = fx(x,u,d,t,px) + px and the continuous
+        # economic stage cost as a quadrature over each interval, the same
+        # transcription as the dense path (shooting.py ode/quad;
+        # Control_Calc.py:102-111,153-158)
+        from mpc_code_tpu.ops.integrators import rk4_quad
+
+        user_fx_c = cfg.model.fx
+        Mx_c = getattr(cfg.model, "Mx", 10)
+
+        def _ode(x, t, u, d, px, xs, us, py):
+            return user_fx_c(x, u, d, t, px) + px
+
+        def _quad(x, t, u, d, px, xs, us, py):
+            y = model.fy(x, u, d, t, py)
+            ystat = model.fy(xs, us, d, t, py)
+            return f_obj(x, u, y, xs, us, ystat)
+
+        integ_cont = rk4_quad(_ode, _quad, Mx_c)
+
+        def _cont_step(x, u, k, p):
+            return integ_cont(x, p["t"], cfg.h, u, p["d"], p["px"][k],
+                              p["xs"], p["us"], p["py"][k])
+
     def dyn(xa, ua, k, p):
         x, _, s_st = split(xa)
         u, s_in = split_u(ua)
-        xn = model.fx(x, u, cfg.h, p["d"], p["t"], p["px"][k])
+        if cont_form:
+            xn = _cont_step(x, u, k, p)[0]
+        else:
+            xn = model.fx(x, u, cfg.h, p["d"], p["t"], p["px"][k])
         parts = [xn]
         if du_coupled:
             parts.append(u)
@@ -191,19 +226,22 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin) -> Struct
     def cost(xa, ua, k, p):
         x, uprev, _ = split(xa)
         u, s_in = split_u(ua)
-        yk = y_of(xa, ua, k, p)
-        ys = model.fy(p["xs"], p["us"], p["d"], p["t"], p["py"][0])
-        um1 = jnp.where(k == 0, p["um1"], uprev if du_coupled else p["um1"])
-        du_k = u - um1
-        dx, du, dy = x, u, yk
-        if cfg.QForm:
-            dx = dx - p["xs"]
-            du = du - p["us"]
-            dy = dy - ys
-        if cfg.DUForm:
-            du = du_k
-        us_obj = du_k if cfg.DUFormEcon else p["us"]
-        val = f_obj(dx, du, dy, p["xs"], us_obj, ys)
+        if cont_form:
+            val = _cont_step(x, u, k, p)[1]
+        else:
+            yk = y_of(xa, ua, k, p)
+            ys = model.fy(p["xs"], p["us"], p["d"], p["t"], p["py"][0])
+            um1 = jnp.where(k == 0, p["um1"], uprev if du_coupled else p["um1"])
+            du_k = u - um1
+            dx, du, dy = x, u, yk
+            if cfg.QForm:
+                dx = dx - p["xs"]
+                du = du - p["us"]
+                dy = dy - ys
+            if cfg.DUForm:
+                du = du_k
+            us_obj = du_k if cfg.DUFormEcon else p["us"]
+            val = f_obj(dx, du, dy, p["xs"], us_obj, ys)
         if slacks:
             # real penalty once (stage 0); PD dummy penalty elsewhere
             val = val + jnp.where(k == 0, N_h * (s_in @ (Ws_j @ s_in)),

@@ -122,6 +122,47 @@ def test_structured_vmap_batch():
     assert np.asarray(res.kkt_err).max() < 1e-7
 
 
+def test_structured_contform_matches_dense():
+    # ContForm: RK4 state integration + continuous economic-cost quadrature
+    # per stage (the ENMPC transcription, Control_Calc.py:102-111,153-158)
+    # through the Riccati structure vs the dense oracle
+    from mpc_code_tpu.examples.enmpc import make_config
+
+    cfg = make_config().replace(N=8)
+    assert cfg.ContForm
+    model = build_model(cfg)
+    f_obj = build_stage_cost(cfg.stage_cost)
+    vfin = build_terminal_cost(cfg)
+    spec = build_ocp(cfg, model, f_obj, vfin)
+    socp = build_structured_ocp(cfg, model, f_obj, vfin)
+    N, nx, nu = cfg.N, cfg.nx, cfg.nu
+    nxu = nx + nu
+    dense = jax.jit(make_solver(spec.nlp, SolverOptions(max_iter=200)))
+    struct = jax.jit(make_structured_solver(socp, SolverOptions(max_iter=200)))
+    x0 = np.asarray(cfg.x0_m, float)
+    us0 = np.asarray(cfg.u0, float)
+    par = dict(x0=jnp.asarray(x0), xs=jnp.asarray(x0), us=jnp.asarray(us0),
+               d=jnp.zeros(cfg.nd), um1=jnp.asarray(us0), t=jnp.asarray(0.0),
+               lam=jnp.zeros((cfg.ny, cfg.nu)), px=jnp.zeros((N, cfg.npx)),
+               py=jnp.zeros((N, cfg.npy)))
+    lbw = spec.lbw.copy()
+    ubw = spec.ubw.copy()
+    lbw[:nx] = ubw[:nx] = x0
+    w0 = np.zeros(spec.nw)
+    for k in range(N + 1):
+        w0[k * nxu : k * nxu + nx] = x0
+    for k in range(N):
+        w0[k * nxu + nx : (k + 1) * nxu] = us0
+    rd = dense(jnp.asarray(w0), par, lbw, ubw, spec.lbg, spec.ubg)
+    rs = struct(par, jnp.tile(jnp.asarray(x0), (N + 1, 1)),
+                jnp.tile(jnp.asarray(us0), (N, 1)))
+    assert int(rd.status) == 0 and int(rs.status) == 0
+    wd = np.asarray(rd.w)
+    Ud = np.array([wd[k * nxu + nx : (k + 1) * nxu] for k in range(N)])
+    assert np.abs(Ud - np.asarray(rs.U)).max() < 1e-6
+    assert abs(float(rd.f) - float(rs.f)) < 1e-6 * abs(float(rd.f))
+
+
 def test_structured_slacks_matches_dense():
     # soft output constraints: the shared slack pair is folded into the
     # Riccati structure as a constant-slack augmentation (decided at stage
