@@ -16,7 +16,7 @@ path; the NLP solve itself is the jitted interior-point solver.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -341,3 +341,172 @@ class MHERuntime:
             self.U = self.U[:-m]
 
         return xhat_corr, P_k
+
+
+# ---------------------------------------------------------------------------
+# Traced steady-state MHE step (TPU path)
+# ---------------------------------------------------------------------------
+
+
+class MHECarry(NamedTuple):
+    """Sliding-window state of the steady-state MHE, all static shapes.
+
+    Buffer layouts match MHERuntime's flat buffers at the point where a
+    step has just COMPLETED with a full window (ksim >= N_mhe): U holds
+    N_mhe*m entries (post-strip), every other buffer N_mhe blocks.
+    """
+
+    U: jnp.ndarray      # ((N-1)*m,) — post-strip input window
+    Y: jnp.ndarray      # (N*p,)
+    T: jnp.ndarray      # (N,)
+    Xmin: jnp.ndarray   # (N*n,)
+    PX: jnp.ndarray     # (N*npx,)
+    PY: jnp.ndarray     # (N*npy,)
+    X: jnp.ndarray      # (N*n,)  one-step-ahead predictions x(k+1|k)
+    V: jnp.ndarray      # (N*p,)  measurement-noise estimates
+    W: jnp.ndarray      # (N*n_w,) process-noise estimates
+    x_bar: jnp.ndarray  # (n,)    arrival-cost center
+    P: jnp.ndarray      # (n,n)   arrival-cost covariance
+
+
+def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
+    """Pure-JAX steady-state MHE step for `mhe_up='filter'`.
+
+    The growing-horizon warmup (ksim < N_mhe) is inherently host-driven
+    (per-horizon NLP sizes — reference MPC_code.py:591-598) and stays in
+    `MHERuntime`; once the window is full the solve is stationary and this
+    step jits/vmaps/scans.  Returns ``(step, carry_from_runtime)``:
+
+    - ``step(carry, y_k, u_k, xhat_min, t_k, p_x, p_y) ->
+      (carry', x_corr)`` — one full MHE step: window shift with the
+      fictitious-input doubling (Estimator.py:475-501), forward-simulated
+      guess (503-512), fixed-size NLP solve (516-530), solution stacking
+      (541-555) and the 'filter' arrival-cost update (626-650).
+    - ``carry_from_runtime(rt, P_k) -> MHECarry`` — hand off from a warmed
+      `MHERuntime` (requires rt to have completed a step with a full
+      window, i.e. len(rt.U) == N_mhe*m).
+
+    The 'smooth' update's stacked big-matrix machinery stays host-side.
+    """
+    est = cfg.estimator
+    if est.mhe_up != "filter":
+        raise ValueError("make_mhe_traced supports mhe_up='filter' only "
+                         "(the 'smooth' update is host-driven)")
+    N = est.N_mhe
+    if N < 2:
+        raise ValueError("make_mhe_traced requires N_mhe >= 2")
+
+    aug = build_augmented(cfg, model)
+    fy_es = aug.fy
+    fx_mhe = build_mhe_model(cfg, model)
+    f_obj_mhe = build_mhe_cost(est.mhe_cost)
+
+    nx, nd = cfg.nx, cfg.nd
+    n = nx + nd if cfg.dist.offree != "no" else nx
+    n_w, m, p = n, cfg.nu, cfg.ny
+    npx, npy = cfg.npx, cfg.npy
+    nxvw = n + p + n_w
+    ts = cfg.h
+    pidx = p * (N - 1)
+
+    spec = build_mhe_nlp(cfg, fx_mhe, fy_es, f_obj_mhe, N, N)
+    solve = make_solver(spec.nlp, cfg.sol_opts_mhe)
+    lbw = jnp.asarray(spec.lbw)
+    ubw = jnp.asarray(spec.ubw)
+    lbg = jnp.asarray(spec.lbg)
+    ubg = jnp.asarray(spec.ubg)
+
+    hess_wv = jax.hessian(lambda wv, t: f_obj_mhe(wv[:n_w], wv[n_w:], t))
+    jac_C = jax.jacfwd(fy_es, argnums=0)
+    jac_A = jax.jacfwd(fx_mhe, argnums=0)
+    jac_G = jax.jacfwd(fx_mhe, argnums=4)
+
+    def step(c: MHECarry, y_k, u_k, xhat_min, t_k, p_x, p_y):
+        y_k = jnp.asarray(y_k).reshape(p)
+        u_k = jnp.asarray(u_k).reshape(m)
+        xhat_min = jnp.asarray(xhat_min).reshape(n)
+        p_x = jnp.asarray(p_x).reshape(npx)
+        p_y = jnp.asarray(p_y).reshape(npy)
+
+        # window shift; the solver's input window ends with the fictitious
+        # doubled current input [..., u_k, u_k] (Estimator.py:475-501) and
+        # the end-of-step strip removes the second copy
+        U_s = jnp.concatenate([c.U[m:], u_k, u_k])       # (N*m,)
+        Y_n = jnp.concatenate([c.Y[p:], y_k])
+        T_n = jnp.concatenate([c.T[1:], jnp.reshape(t_k, (1,))])
+        Xmin_n = jnp.concatenate([c.Xmin[n:], xhat_min])
+        PX_n = jnp.concatenate([c.PX[npx:], p_x])
+        PY_n = jnp.concatenate([c.PY[npy:], p_y])
+
+        # forward-simulated guess from the arrival-cost center
+        Um = U_s.reshape(N, m)
+        PXm = PX_n.reshape(N, npx)
+
+        def sim(xg, inp):
+            u_i, t_i, px_i = inp
+            xn = fx_mhe(xg, u_i, ts, t_i, jnp.zeros(n_w, dtype=xg.dtype), px_i)
+            return xn, xn
+
+        xN, Xtail = jax.lax.scan(sim, c.x_bar, (Um, T_n, PXm))
+        Xg = jnp.concatenate([c.x_bar[None], Xtail[:-1]], axis=0)  # stages 0..N-1
+        body = jnp.zeros((N, nxvw), dtype=c.x_bar.dtype).at[:, :n].set(Xg)
+        w_guess = jnp.concatenate([body.reshape(-1), xN])
+
+        par = dict(
+            U=Um, Y=Y_n.reshape(N, p), x_bar=c.x_bar,
+            P_inv=jnp.linalg.inv(c.P), T=T_n,
+            PX=PXm, PY=PY_n.reshape(N, npy),
+            Pycondx_inv=jnp.zeros((pidx, pidx), dtype=c.x_bar.dtype),
+            Hbig=jnp.zeros(pidx, dtype=c.x_bar.dtype),
+            Obig=jnp.zeros((pidx, n), dtype=c.x_bar.dtype),
+        )
+        res = solve(w_guess, par, lbw, ubw, lbg, ubg)
+        w_opt = res.w
+
+        xkp1k = w_opt[-n:]
+        xhat_corr = w_opt[-n - nxvw : -nxvw]
+        v_k = w_opt[-nxvw : -n - n_w]
+        w_k = w_opt[-n - n_w : -n]
+
+        X_n = jnp.concatenate([c.X[n:], xkp1k])
+        V_n = jnp.concatenate([c.V[p:], v_k])
+        W_n = jnp.concatenate([c.W[n_w:], w_k])
+
+        # 'filter' arrival-cost update from the OLDEST window entries
+        # (Estimator.py:626-650), exactly as MHERuntime does it
+        Hd0 = hess_wv(jnp.concatenate([W_n[:n_w], V_n[:p]]), T_n[0])
+        H0 = jnp.linalg.inv(Hd0)
+        Q0 = H0[:n_w, :n_w]
+        R0 = H0[-p:, -p:]
+        S0 = H0[:n_w, -p:]
+        C0 = jac_C(Xmin_n[:n], U_s[:m], T_n[0], PY_n[:npy])
+        inbr0 = jnp.linalg.inv(C0 @ c.P @ C0.T + R0)
+        K0 = c.P @ C0.T @ inbr0
+        P_corr = c.P - K0 @ C0 @ c.P
+        A0 = jac_A(X_n[:n], U_s[:m], ts, T_n[0], W_n[:n_w], PX_n[:npx])
+        G0 = jac_G(X_n[:n], U_s[:m], ts, T_n[0], W_n[:n_w], PX_n[:npx])
+        M0 = -K0 @ S0.T
+        P_new = (A0 @ P_corr @ A0.T + G0 @ Q0 @ G0.T
+                 + A0 @ M0 @ G0.T + G0 @ M0 @ A0.T)
+        x_bar_n = X_n[:n]
+
+        c_out = MHECarry(U=U_s[:-m], Y=Y_n, T=T_n, Xmin=Xmin_n, PX=PX_n, PY=PY_n,
+                         X=X_n, V=V_n, W=W_n, x_bar=x_bar_n, P=P_new)
+        return c_out, xhat_corr
+
+    def carry_from_runtime(rt: "MHERuntime", P_k) -> MHECarry:
+        if rt.N_mhe != N:
+            raise ValueError("runtime/config N_mhe mismatch")
+        if rt.U.shape[0] != (N - 1) * m:
+            raise ValueError(
+                "runtime window not full yet: hand off after the step with "
+                f"ksim >= N_mhe - 1 completed (len(U)={rt.U.shape[0]}, "
+                f"need {(N - 1) * m})")
+        return MHECarry(
+            U=jnp.asarray(rt.U), Y=jnp.asarray(rt.Y), T=jnp.asarray(rt.T),
+            Xmin=jnp.asarray(rt.Xmin), PX=jnp.asarray(rt.PX),
+            PY=jnp.asarray(rt.PY), X=jnp.asarray(rt.X), V=jnp.asarray(rt.V),
+            W=jnp.asarray(rt.W), x_bar=jnp.asarray(rt.x_bar),
+            P=jnp.asarray(P_k, dtype=float))
+
+    return step, carry_from_runtime

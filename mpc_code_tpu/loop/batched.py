@@ -14,7 +14,9 @@ scenario cannot stall the batch (reference semantics MPC_code.py:714-718,
 
 Estimators supported in traced mode: kalss/lue (static gain), kal, ekf.
 MHE's growing-horizon warmup is host-driven and stays in the interactive
-simulator.
+simulator; for the steady-state (full-window) regime a pure-JAX MHE step
+exists as `estimators.mhe.make_mhe_traced` (filter update), handed off
+from a warmed `MHERuntime`.
 """
 
 from __future__ import annotations

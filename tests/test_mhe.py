@@ -75,3 +75,81 @@ def test_mhe_estimation_only_linear():
     assert abs(H["D_HAT"][-1][1]) < 0.05
     # state estimate converges to the plant state
     assert np.abs(H["X_HAT"][-1] - H["Xp"][-1]).max() < 0.05
+
+
+def test_mhe_traced_matches_runtime():
+    # the pure-JAX steady-state MHE step (make_mhe_traced, filter update)
+    # must continue a warmed MHERuntime bit-for-bit, and vmap across lanes
+    import jax
+    import jax.numpy as jnp
+
+    from mpc_code_tpu.config import (
+        Bounds, DisturbanceModel, EstimatorConfig, LinearModel, LinearPlant,
+        MHECost, MPCConfig, SSCost, StageCost,
+    )
+    from mpc_code_tpu.estimators.mhe import MHERuntime, make_mhe_traced
+    from mpc_code_tpu.models import build_model
+
+    A = np.array([[0.8, 0.1], [0.0, 0.9]])
+    B = np.array([[0.5], [1.0]])
+    nx, nu, ny, nd = 2, 1, 2, 2
+    cfg = MPCConfig(
+        nx=nx, nu=nu, ny=ny, nd=nd, Nsim=30, N=5, h=1.0,
+        model=LinearModel(A=A, B=B, C=np.eye(2)),
+        plant=LinearPlant(Ap=A, Bp=B, Cp=np.eye(2)),
+        dist=DisturbanceModel(offree="lin", Bd=np.zeros((2, 2)), Cd=np.eye(2)),
+        x0_p=np.array([0.5, -0.2]), x0_m=np.zeros(2), u0=np.zeros(1),
+        ss_cost=SSCost(Qss=np.eye(2), Rss=np.zeros((1, 1))),
+        stage_cost=StageCost(Q=np.eye(2), R=0.1 * np.eye(1)),
+        estimator=EstimatorConfig(
+            kind="mhe", N_mhe=4, mhe_up="filter",
+            mhe_cost=MHECost(Q=0.1 * np.eye(nx + nd), R=0.01 * np.eye(ny)),
+            P0=np.eye(nx + nd)),
+        bounds=Bounds(umin=np.array([-3.0]), umax=np.array([3.0])),
+    )
+    model = build_model(cfg)
+    rt = MHERuntime(cfg, model)
+    step_t, from_rt = make_mhe_traced(cfg, model)
+
+    rng = np.random.default_rng(0)
+    n = nx + nd
+    P = np.eye(n)
+    x_es = np.zeros(n)
+    x_p = np.array([0.5, -0.2])
+    K0 = 6
+    inputs = []
+    for k in range(K0 + 4):
+        u_k = np.array([np.sin(0.3 * k)])
+        x_p = A @ x_p + B @ u_k + 0.01 * rng.standard_normal(2)
+        y_k = np.eye(2) @ x_p + 0.005 * rng.standard_normal(2)
+        xhat_min = x_es + 0.01 * rng.standard_normal(n)
+        inputs.append((y_k, u_k, xhat_min, float(k)))
+
+    P_rt = P.copy()
+    outs_rt = []
+    carry = None
+    for k, (y, u, xm, t) in enumerate(inputs):
+        xc, P_rt = rt.step(k, y, u, xm, t, np.zeros(cfg.npx), np.zeros(cfg.npy), P_rt)
+        outs_rt.append((np.asarray(xc).copy(), np.asarray(P_rt).copy()))
+        if k == K0 - 1:
+            carry = from_rt(rt, P_rt)
+
+    sj = jax.jit(step_t)
+    for i, k in enumerate(range(K0, K0 + 4)):
+        y, u, xm, t = inputs[k]
+        carry, xc = sj(carry, y, u, xm, t, np.zeros(cfg.npx), np.zeros(cfg.npy))
+        assert np.abs(outs_rt[k][0] - np.asarray(xc)).max() < 1e-12
+        assert np.abs(outs_rt[k][1] - np.asarray(carry.P)).max() < 1e-10
+
+    # vmap: lane 0 of a batched step equals the unbatched step
+    Bn = 3
+    carry_b = jax.tree_util.tree_map(
+        lambda a: jnp.tile(a[None], (Bn,) + (1,) * a.ndim), carry)
+    y, u, xm, t = inputs[-1]
+    ys = np.tile(y[None], (Bn, 1)) + 0.01 * np.arange(Bn)[:, None]
+    vstep = jax.jit(jax.vmap(step_t, in_axes=(0, 0, None, None, None, None, None)))
+    cb, xcb = vstep(carry_b, jnp.asarray(ys), jnp.asarray(u), jnp.asarray(xm),
+                    t + 1.0, jnp.zeros(cfg.npx), jnp.zeros(cfg.npy))
+    c1, xc1 = sj(carry, y, u, xm, t + 1.0, np.zeros(cfg.npx), np.zeros(cfg.npy))
+    assert np.abs(np.asarray(xcb)[0] - np.asarray(xc1)).max() < 1e-12
+    assert np.ptp(np.asarray(xcb)[:, 0]) > 1e-5  # distinct y -> distinct lanes
