@@ -12,16 +12,18 @@ Feasibility fallbacks are expressed with `jnp.where` masks so one diverged
 scenario cannot stall the batch (reference semantics MPC_code.py:714-718,
 786-805, per-lane).
 
-Estimators supported in traced mode: kalss/lue (static gain), kal, ekf.
-MHE's growing-horizon warmup is host-driven and stays in the interactive
-simulator; for the steady-state (full-window) regime a pure-JAX MHE step
-exists as `estimators.mhe.make_mhe_traced` (filter update), handed off
-from a warmed `MHERuntime`.
+Estimators supported in traced mode: kalss/lue (static gain), kal, ekf,
+and steady-state MHE (filter update).  MHE's growing-horizon warmup is
+host-driven (reference MPC_code.py:591-598 rebuilds solvers per horizon):
+run `ClosedLoop` for >= N_mhe steps, then hand off via
+``init_carry(cfg, mhe=carry_from_runtime(loop.mhe_rt, P),
+state=loop.final_state)`` — the traced continuation is bit-identical to
+the host loop.
 """
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +56,7 @@ class MPCCarry(NamedTuple):
     w_prev: jnp.ndarray  # previous OCP solution (warm start)
     ocp_ok: jnp.ndarray  # last OCP feasibility flag
     t: jnp.ndarray       # time
+    mhe: Any = None      # MHECarry window state (kind='mhe' only)
 
 
 class MPCStepOut(NamedTuple):
@@ -109,10 +112,15 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
 
     est = cfg.estimator
     kind = est.kind
-    if kind not in ("kalss", "lue", "kal", "ekf"):
-        # MHE's growing-horizon warmup is host-driven; use loop/simulator.py
+    if kind not in ("kalss", "lue", "kal", "ekf", "mhe"):
         raise ValueError(f"estimator kind {kind!r} unsupported in the traced "
-                         "batched step (supported: kalss, lue, kal, ekf)")
+                         "batched step (supported: kalss, lue, kal, ekf, mhe)")
+    if kind == "mhe":
+        # steady-state (full-window) MHE only: warm up host-side with
+        # ClosedLoop/MHERuntime, hand the window to init_carry(..., mhe=...)
+        from mpc_code_tpu.estimators.mhe import make_mhe_traced
+
+        mhe_step, _ = make_mhe_traced(cfg, model)
     if kind in ("kalss", "lue"):
         if cfg.StateFeedback and cfg.dist.offree == "no":
             K_gain = jnp.eye(aug.n)
@@ -158,12 +166,15 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
         # estimator
         x_es = jnp.concatenate([c.xhat, c.dhat]) if cfg.dist.offree != "no" else c.xhat
         P = c.P
+        mhe_c = c.mhe
         if kind in ("kalss", "lue"):
             x_es = kalss(aug, y_k, c.u, K_gain, x_es, t_k, py0)
         elif kind == "kal":
             P, _, x_es = kalman(aug, cfg.h, y_k, c.u, Qkf, Rkf, P, x_es, t_k, px0, py0)
         elif kind == "ekf":
             P, _, x_es = ekf(aug, cfg.h, y_k, c.u, Qkf, Rkf, P, x_es, t_k, px0, py0)
+        elif kind == "mhe":
+            mhe_c, x_es = mhe_step(c.mhe, y_k, c.u, x_es, t_k, px0, py0)
         if cfg.dist.offree != "no":
             xhat = x_es[:nx]
             dhat = x_es[nx : nx + nd]
@@ -235,7 +246,7 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
 
         carry = MPCCarry(x=x_next, xhat=xhat_next, dhat=dhat, P=P, u=u_k,
                          xs=xs, us=us, w_prev=w_prev, ocp_ok=ok,
-                         t=t_k + cfg.h)
+                         t=t_k + cfg.h, mhe=mhe_c)
         status_dyn = rs.status if use_structured else r.status
         iters_dyn = rs.iters if use_structured else r.iters
         out = MPCStepOut(y=y_k, u=u_k, xs=xs, us=us, xhat=xhat, dhat=dhat,
@@ -246,11 +257,19 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
     return step
 
 
-def init_carry(cfg: MPCConfig, x0=None) -> MPCCarry:
+def init_carry(cfg: MPCConfig, x0=None, mhe=None, state=None) -> MPCCarry:
     """Initial carry mirroring the reference's loop-state init
-    (MPC_code.py:442-484)."""
+    (MPC_code.py:442-484).
+
+    ``state``: a ``ClosedLoop.final_state`` dict — continue a host-driven
+    simulation in traced mode (e.g. after the MHE growing-horizon warmup).
+    ``mhe``: an ``MHECarry`` from ``make_mhe_traced``'s
+    ``carry_from_runtime`` (required for estimator kind 'mhe').
+    """
     nx, nu, nd = cfg.nx, cfg.nu, cfg.nd
     naug = nx + nd if cfg.dist.offree != "no" else nx
+    if state is not None:
+        x0 = state["x"] if x0 is None else x0
     x0 = jnp.asarray(np.asarray(cfg.x0_p, float).reshape(-1) if x0 is None else x0)
     x0_m = jnp.asarray(np.asarray(cfg.x0_m, float).reshape(-1))
     u0 = jnp.asarray(np.asarray(cfg.u0, float).reshape(-1))
@@ -258,6 +277,11 @@ def init_carry(cfg: MPCConfig, x0=None) -> MPCCarry:
              else jnp.asarray(np.asarray(cfg.dhat0, float).reshape(-1)))
     P0 = (jnp.asarray(np.asarray(cfg.estimator.P0, float))
           if cfg.estimator.P0 is not None else jnp.zeros((naug, naug)))
+    if cfg.estimator.kind == "mhe" and mhe is None:
+        raise ValueError("estimator kind 'mhe' needs a warmed MHECarry: "
+                         "run the growing-horizon warmup host-side "
+                         "(ClosedLoop / MHERuntime), then pass "
+                         "carry_from_runtime(rt, P) as init_carry(..., mhe=...)")
     N, nxu = cfg.N, nx + nu
     if cfg.slacks:
         from mpc_code_tpu.ocp.shooting import _user_constraint_dim
@@ -272,5 +296,19 @@ def init_carry(cfg: MPCConfig, x0=None) -> MPCCarry:
     body = body.at[:, :nx].set(x0_m).at[:, nx:].set(u0)
     w0 = (w0.at[: N * nxu].set(body.reshape(-1))
           .at[N * nxu : N * nxu + nx].set(x0_m))   # Sl tail (if any) stays 0
-    return MPCCarry(x=x0, xhat=x0_m, dhat=dhat0, P=P0, u=u0, xs=x0_m, us=u0,
-                    w_prev=w0, ocp_ok=jnp.asarray(True), t=jnp.asarray(0.0))
+    carry = MPCCarry(x=x0, xhat=x0_m, dhat=dhat0, P=P0, u=u0, xs=x0_m, us=u0,
+                     w_prev=w0, ocp_ok=jnp.asarray(True), t=jnp.asarray(0.0),
+                     mhe=mhe)
+    if state is not None:
+        def _a(v):
+            return jnp.asarray(np.asarray(v, float))
+
+        carry = carry._replace(
+            x=_a(state["x"]), xhat=_a(state["xhat"]), dhat=_a(state["dhat"]),
+            u=_a(state["u"]), P=_a(state["P"]), t=jnp.asarray(float(state["t"])))
+        if state.get("xs") is not None:
+            carry = carry._replace(xs=_a(state["xs"]), us=_a(state["us"]))
+        if state.get("w_opt") is not None and np.asarray(state["w_opt"]).shape == (nw,):
+            carry = carry._replace(w_prev=_a(state["w_opt"]),
+                                   ocp_ok=jnp.asarray(bool(state["ocp_feasible"])))
+    return carry

@@ -428,4 +428,15 @@ class ClosedLoop:
                 H["Upopt"].append(w2[cfg.nxp : cfg.nxp + nu].copy())
                 H["Ypopt"].append(w2[cfg.nxp + nu :].copy())
 
+        # end-of-run loop state, for handing the simulation off to the
+        # traced batched step (e.g. MHE warmup host-side, steady state on
+        # the chip via loop/batched.py + estimators.mhe.make_mhe_traced)
+        self.final_state = dict(
+            x=x_k.copy(), xhat=xhat_k.copy(), dhat=dhat_k.copy(),
+            u=u_k.copy(), P=P_k.copy(),
+            xs=None if xs_k is None else np.asarray(xs_k).copy(),
+            us=None if us_k is None else np.asarray(us_k).copy(),
+            w_opt=None if w_opt is None else np.asarray(w_opt).copy(),
+            ocp_feasible=bool(ocp_feasible), t=Nsim * cfg.h,
+        )
         return {k: np.stack(v) if v else np.zeros((0,)) for k, v in H.items()}

@@ -153,3 +153,64 @@ def test_mhe_traced_matches_runtime():
     c1, xc1 = sj(carry, y, u, xm, t + 1.0, np.zeros(cfg.npx), np.zeros(cfg.npy))
     assert np.abs(np.asarray(xcb)[0] - np.asarray(xc1)).max() < 1e-12
     assert np.ptp(np.asarray(xcb)[:, 0]) > 1e-5  # distinct y -> distinct lanes
+
+
+def test_mhe_mpc_traced_continuation():
+    # full MHE-MPC loop: host-driven warmup (ClosedLoop), then the traced
+    # batched step continues bit-identically — estimator kind 'mhe' in
+    # make_mpc_step via the steady-state MHE step + final_state handoff
+    import jax
+
+    from mpc_code_tpu.config import (
+        Bounds, DisturbanceModel, EstimatorConfig, LinearModel, LinearPlant,
+        MHECost, MPCConfig, SSCost, StageCost,
+    )
+    from mpc_code_tpu.estimators.mhe import make_mhe_traced
+    from mpc_code_tpu.loop.batched import init_carry, make_mpc_step
+
+    A = np.array([[0.8, 0.1], [0.0, 0.9]])
+    B = np.array([[0.5], [1.0]])
+
+    def defSP(t):
+        return np.array([0.6, 0.3]), np.zeros(1), np.zeros(2)
+
+    def mkcfg(Nsim):
+        return MPCConfig(
+            nx=2, nu=1, ny=2, nd=2, Nsim=Nsim, N=8, h=1.0,
+            model=LinearModel(A=A, B=B, C=np.eye(2)),
+            plant=LinearPlant(Ap=A, Bp=B, Cp=np.eye(2)),
+            dist=DisturbanceModel(offree="lin", Bd=np.zeros((2, 2)), Cd=np.eye(2)),
+            x0_p=np.array([0.5, -0.2]), x0_m=np.zeros(2), u0=np.zeros(1),
+            ss_cost=SSCost(Qss=np.eye(2), Rss=np.zeros((1, 1))),
+            stage_cost=StageCost(Q=np.eye(2), R=0.1 * np.eye(1)),
+            estimator=EstimatorConfig(
+                kind="mhe", N_mhe=4, mhe_up="filter",
+                mhe_cost=MHECost(Q=0.1 * np.eye(4), R=0.01 * np.eye(2)),
+                P0=np.eye(4)),
+            bounds=Bounds(umin=np.array([-3.0]), umax=np.array([3.0])),
+            defSP=defSP,
+        )
+
+    K0, T = 6, 5
+    H_full = ClosedLoop(mkcfg(K0 + T)).run()
+    loop_s = ClosedLoop(mkcfg(K0))
+    loop_s.run()
+    st = loop_s.final_state
+
+    cfg = mkcfg(K0 + T)
+    _, from_rt = make_mhe_traced(cfg, loop_s.model)
+    carry = init_carry(cfg, mhe=from_rt(loop_s.mhe_rt, st["P"]), state=st)
+    step = jax.jit(make_mpc_step(cfg, ysp=np.array([0.6, 0.3])))
+    us_tr = []
+    for _ in range(T):
+        carry, out = step(carry)
+        us_tr.append(float(out.u[0]))
+        assert int(out.status_dyn) != 2
+    uh = np.asarray(H_full["U"])[K0:, 0]
+    assert np.abs(uh - np.asarray(us_tr)).max() < 1e-12
+
+    # init_carry without a warmed window must refuse
+    import pytest
+
+    with pytest.raises(ValueError, match="warmed MHECarry"):
+        init_carry(cfg)
