@@ -84,19 +84,21 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
     plant = build_plant(cfg, model)
     aug = build_augmented(cfg, model)
 
-    fss_obj = build_ss_cost(cfg.ss_cost)
-    f_obj = build_stage_cost(cfg.stage_cost)
-    vfin = build_terminal_cost(cfg)
-    tspec = build_target(cfg, model, fss_obj)
-    ospec = build_ocp(cfg, model, f_obj, vfin)
-    target_solve = make_solver(tspec.nlp, cfg.sol_opts_ss)
+    estimating = bool(cfg.estimating)
+    if not estimating:
+        fss_obj = build_ss_cost(cfg.ss_cost)
+        f_obj = build_stage_cost(cfg.stage_cost)
+        vfin = build_terminal_cost(cfg)
+        tspec = build_target(cfg, model, fss_obj)
+        ospec = build_ocp(cfg, model, f_obj, vfin)
+        target_solve = make_solver(tspec.nlp, cfg.sol_opts_ss)
 
     # structured Riccati fast path for the OCP when the feature set allows
     # it (incl. soft output constraints via constant-slack augmentation and
     # user stage inequalities); dense IPM fallback otherwise
     from mpc_code_tpu.solver.riccati import structured_supported
 
-    use_structured = structured_supported(cfg)
+    use_structured = (not estimating) and structured_supported(cfg)
     if use_structured:
         from mpc_code_tpu.solver.riccati import (
             build_structured_ocp, make_structured_solver,
@@ -107,7 +109,7 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
         ns_s = socp.ns
         nup = socp.nxa - nx - ns_s
         du_aug = nup > 0
-    else:
+    elif not estimating:
         ocp_solve = make_solver(ospec.nlp, cfg.sol_opts_dyn)
 
     est = cfg.estimator
@@ -142,15 +144,16 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
     dmin = None if cfg.bounds.dmin is None else jnp.asarray(cfg.bounds.dmin, float).reshape(-1)
     dmax = None if cfg.bounds.dmax is None else jnp.asarray(cfg.bounds.dmax, float).reshape(-1)
 
-    t_lbw = jnp.asarray(tspec.lbw)
-    t_ubw = jnp.asarray(tspec.ubw)
-    t_lbg = jnp.asarray(tspec.lbg)
-    t_ubg = jnp.asarray(tspec.ubg)
-    o_lbw = jnp.asarray(ospec.lbw)
-    o_ubw = jnp.asarray(ospec.ubw)
-    o_lbg = jnp.asarray(ospec.lbg)
-    o_ubg = jnp.asarray(ospec.ubg)
-    nw, ns = ospec.nw, ospec.ns
+    if not estimating:
+        t_lbw = jnp.asarray(tspec.lbw)
+        t_ubw = jnp.asarray(tspec.ubw)
+        t_lbg = jnp.asarray(tspec.lbg)
+        t_ubg = jnp.asarray(tspec.ubg)
+        o_lbw = jnp.asarray(ospec.lbw)
+        o_ubw = jnp.asarray(ospec.ubw)
+        o_lbg = jnp.asarray(ospec.lbg)
+        o_ubg = jnp.asarray(ospec.ubg)
+        nw, ns = ospec.nw, ospec.ns
 
     def step(c: MPCCarry):
         t_k = c.t
@@ -182,6 +185,26 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
                 dhat = jnp.clip(dhat, dmin, dmax)
         else:
             xhat, dhat = x_es, c.dhat
+
+        if estimating:
+            # estimation-only mode (MPC_code.py:200, 675): no target/OCP,
+            # the input is never recomputed.  The CORRECTION is carried —
+            # the filters do their own time update internally, exactly as
+            # the host loop's estimating flow (simulator.py)
+            if plant.nominal:
+                x_next = plant.fx(c.x, c.u, cfg.h, dhat, t_k, jnp.zeros(npx))
+            else:
+                x_next = plant.fx(c.x, c.u, jnp.zeros(cfg.npxp), t_k, cfg.h,
+                                  jnp.zeros(cfg.npxp))
+            xhat_next = xhat
+            zero_i = jnp.asarray(0, jnp.int32)
+            carry = MPCCarry(x=x_next, xhat=xhat_next, dhat=dhat, P=P, u=c.u,
+                             xs=c.xs, us=c.us, w_prev=c.w_prev,
+                             ocp_ok=c.ocp_ok, t=t_k + cfg.h, mhe=mhe_c)
+            out = MPCStepOut(y=y_k, u=c.u, xs=c.xs, us=c.us, xhat=xhat,
+                             dhat=dhat, status_ss=zero_i, status_dyn=zero_i,
+                             ocp_iters=zero_i)
+            return carry, out
 
         # target problem
         par_ss = dict(usp=usp, ysp=ysp, xsp=xsp, d=dhat, us_prev=c.us,

@@ -182,6 +182,33 @@ def test_estimating_mode_with_kf():
     assert np.abs(H["X_HAT"][-1] - H["Xp"][-2]).max() < 0.02
 
 
+def test_estimating_mode_batched_matches_host():
+    # estimating=True in the traced step: no target/OCP built, input never
+    # recomputed, the correction is carried — matches the host loop exactly
+    import jax
+
+    from mpc_code_tpu.loop.batched import init_carry, make_mpc_step
+
+    cfg = _base(
+        estimating=True, nd=0,
+        dist=DisturbanceModel(offree="no"),
+        estimator=EstimatorConfig(kind="kal", Q_kf=np.eye(2),
+                                  R_kf=0.01 * np.eye(2), P0=np.eye(2)),
+        x0_p=np.array([1.0, -0.5]), x0_m=np.zeros(2), u0=np.array([0.5]),
+    )
+    H = ClosedLoop(cfg).run()
+
+    step = jax.jit(make_mpc_step(cfg))
+    c = init_carry(cfg)
+    xh_tr = []
+    for _ in range(cfg.Nsim):
+        c, out = step(c)
+        xh_tr.append(np.asarray(out.xhat))
+    # host stores X_HAT[k+1] = correction at step k
+    assert np.abs(np.asarray(H["X_HAT"])[1:] - np.asarray(xh_tr)[:-1]).max() < 1e-12
+    assert len(H["U"]) == 0
+
+
 def test_continuous_model_state_saturation():
     # ContinuousModel.clip_lo/clip_hi saturates the ODE input (the
     # reference's Ex_NMPC_dis.py:75-77 stability-guard pattern): an
