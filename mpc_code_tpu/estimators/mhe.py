@@ -348,6 +348,34 @@ class MHERuntime:
 # ---------------------------------------------------------------------------
 
 
+def _block_diag(A, B):
+    za = jnp.zeros((A.shape[0], B.shape[1]), dtype=A.dtype)
+    zb = jnp.zeros((B.shape[0], A.shape[1]), dtype=A.dtype)
+    return jnp.concatenate([jnp.concatenate([A, za], axis=1),
+                            jnp.concatenate([zb, B], axis=1)], axis=0)
+
+
+class MHESmoothState(NamedTuple):
+    """Rolling per-stage linearization buffers of the 'smooth' arrival-cost
+    update, in MHERuntime's post-shift layout (length N_mhe-1 stacks;
+    reference Estimator.py:654-735 + driver buffers MPC_code.py:417-438)."""
+
+    P_kal: jnp.ndarray   # (n,n)       bookkeeping-KF prior covariance
+    bigA: jnp.ndarray    # (N-1,n,n)
+    bigP: jnp.ndarray    # (N-1,n,n)   KF priors Pi
+    bigPc: jnp.ndarray   # (N-1,n,n)   KF posteriors
+    bigC: jnp.ndarray    # (N-1,p,n)
+    bigG: jnp.ndarray    # (N-1,n,n_w)
+    bigB: jnp.ndarray    # (N-1,n,m)
+    bigf: jnp.ndarray    # (N-1,n)
+    bigh: jnp.ndarray    # (N-1,p)
+    bigQ: jnp.ndarray    # (N-1,n_w+p,n_w+p)  inverse stage Hessians
+    bigU: jnp.ndarray    # (N-1,m)
+    Hbig: jnp.ndarray    # (p*(N-1),)
+    Obig: jnp.ndarray    # (p*(N-1),n)
+    Pycondx_inv: jnp.ndarray  # (p*(N-1), p*(N-1))
+
+
 class MHECarry(NamedTuple):
     """Sliding-window state of the steady-state MHE, all static shapes.
 
@@ -367,10 +395,11 @@ class MHECarry(NamedTuple):
     W: jnp.ndarray      # (N*n_w,) process-noise estimates
     x_bar: jnp.ndarray  # (n,)    arrival-cost center
     P: jnp.ndarray      # (n,n)   arrival-cost covariance
+    sm: Any = None      # MHESmoothState (mhe_up='smooth' only)
 
 
 def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
-    """Pure-JAX steady-state MHE step for `mhe_up='filter'`.
+    """Pure-JAX steady-state MHE step (both ``mhe_up`` modes).
 
     The growing-horizon warmup (ksim < N_mhe) is inherently host-driven
     (per-horizon NLP sizes — reference MPC_code.py:591-598) and stays in
@@ -381,17 +410,20 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
       (carry', x_corr)`` — one full MHE step: window shift with the
       fictitious-input doubling (Estimator.py:475-501), forward-simulated
       guess (503-512), fixed-size NLP solve (516-530), solution stacking
-      (541-555) and the 'filter' arrival-cost update (626-650).
+      (541-555) and the arrival-cost update — 'filter': one EKF-with-
+      cross-term step on the oldest window entries (Estimator.py:626-650);
+      'smooth': bookkeeping KF with the Feng cross-covariance term
+      (558-622), backward Riccati smoother P <- Pis[1] (654-664), and the
+      stacked Abig/Cbig/Qbig/Hbig/Obig/Pycondx assembly (686-735), all as
+      fixed-shape dense algebra inside the trace.
     - ``carry_from_runtime(rt, P_k) -> MHECarry`` — hand off from a warmed
       `MHERuntime` (requires rt to have completed a step with a full
-      window, i.e. len(rt.U) == N_mhe*m).
-
-    The 'smooth' update's stacked big-matrix machinery stays host-side.
+      window, i.e. len(rt.U) == (N_mhe-1)*m post-strip).
     """
     est = cfg.estimator
-    if est.mhe_up != "filter":
-        raise ValueError("make_mhe_traced supports mhe_up='filter' only "
-                         "(the 'smooth' update is host-driven)")
+    if est.mhe_up not in ("filter", "smooth"):
+        raise ValueError(f"unknown mhe_up {est.mhe_up!r}")
+    smooth = est.mhe_up == "smooth"
     N = est.N_mhe
     if N < 2:
         raise ValueError("make_mhe_traced requires N_mhe >= 2")
@@ -419,7 +451,13 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
     hess_wv = jax.hessian(lambda wv, t: f_obj_mhe(wv[:n_w], wv[n_w:], t))
     jac_C = jax.jacfwd(fy_es, argnums=0)
     jac_A = jax.jacfwd(fx_mhe, argnums=0)
+    jac_B = jax.jacfwd(fx_mhe, argnums=1)
     jac_G = jax.jacfwd(fx_mhe, argnums=4)
+    if smooth and N < 3:
+        # the reference's stacked-assembly shapes only close for N_mhe >= 3
+        # (Estimator.py:697-701 writes an n+n_w+p-wide first row into an
+        # n+(N-2)n_w+(N-1)p matrix — same latent limit there)
+        raise ValueError("mhe_up='smooth' requires N_mhe >= 3")
 
     def step(c: MHECarry, y_k, u_k, xhat_min, t_k, p_x, p_y):
         y_k = jnp.asarray(y_k).reshape(p)
@@ -452,13 +490,15 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
         body = jnp.zeros((N, nxvw), dtype=c.x_bar.dtype).at[:, :n].set(Xg)
         w_guess = jnp.concatenate([body.reshape(-1), xN])
 
+        zdt = c.x_bar.dtype
         par = dict(
             U=Um, Y=Y_n.reshape(N, p), x_bar=c.x_bar,
             P_inv=jnp.linalg.inv(c.P), T=T_n,
             PX=PXm, PY=PY_n.reshape(N, npy),
-            Pycondx_inv=jnp.zeros((pidx, pidx), dtype=c.x_bar.dtype),
-            Hbig=jnp.zeros(pidx, dtype=c.x_bar.dtype),
-            Obig=jnp.zeros((pidx, n), dtype=c.x_bar.dtype),
+            Pycondx_inv=(c.sm.Pycondx_inv if smooth
+                         else jnp.zeros((pidx, pidx), dtype=zdt)),
+            Hbig=c.sm.Hbig if smooth else jnp.zeros(pidx, dtype=zdt),
+            Obig=c.sm.Obig if smooth else jnp.zeros((pidx, n), dtype=zdt),
         )
         res = solve(w_guess, par, lbw, ubw, lbg, ubg)
         w_opt = res.w
@@ -472,41 +512,166 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
         V_n = jnp.concatenate([c.V[p:], v_k])
         W_n = jnp.concatenate([c.W[n_w:], w_k])
 
-        # 'filter' arrival-cost update from the OLDEST window entries
-        # (Estimator.py:626-650), exactly as MHERuntime does it
-        Hd0 = hess_wv(jnp.concatenate([W_n[:n_w], V_n[:p]]), T_n[0])
-        H0 = jnp.linalg.inv(Hd0)
-        Q0 = H0[:n_w, :n_w]
-        R0 = H0[-p:, -p:]
-        S0 = H0[:n_w, -p:]
-        C0 = jac_C(Xmin_n[:n], U_s[:m], T_n[0], PY_n[:npy])
-        inbr0 = jnp.linalg.inv(C0 @ c.P @ C0.T + R0)
-        K0 = c.P @ C0.T @ inbr0
-        P_corr = c.P - K0 @ C0 @ c.P
-        A0 = jac_A(X_n[:n], U_s[:m], ts, T_n[0], W_n[:n_w], PX_n[:npx])
-        G0 = jac_G(X_n[:n], U_s[:m], ts, T_n[0], W_n[:n_w], PX_n[:npx])
-        M0 = -K0 @ S0.T
-        P_new = (A0 @ P_corr @ A0.T + G0 @ Q0 @ G0.T
-                 + A0 @ M0 @ G0.T + G0 @ M0 @ A0.T)
-        x_bar_n = X_n[:n]
+        if smooth:
+            P_new, x_bar_n, sm_n = _smooth_update(
+                c.sm, w_opt, xhat_corr, xkp1k, v_k, w_k, y_k, u_k, t_k,
+                p_x, p_y)
+        else:
+            # 'filter' arrival-cost update from the OLDEST window entries
+            # (Estimator.py:626-650), exactly as MHERuntime does it
+            Hd0 = hess_wv(jnp.concatenate([W_n[:n_w], V_n[:p]]), T_n[0])
+            H0 = jnp.linalg.inv(Hd0)
+            Q0 = H0[:n_w, :n_w]
+            R0 = H0[-p:, -p:]
+            S0 = H0[:n_w, -p:]
+            C0 = jac_C(Xmin_n[:n], U_s[:m], T_n[0], PY_n[:npy])
+            inbr0 = jnp.linalg.inv(C0 @ c.P @ C0.T + R0)
+            K0 = c.P @ C0.T @ inbr0
+            P_corr = c.P - K0 @ C0 @ c.P
+            A0 = jac_A(X_n[:n], U_s[:m], ts, T_n[0], W_n[:n_w], PX_n[:npx])
+            G0 = jac_G(X_n[:n], U_s[:m], ts, T_n[0], W_n[:n_w], PX_n[:npx])
+            M0 = -K0 @ S0.T
+            P_new = (A0 @ P_corr @ A0.T + G0 @ Q0 @ G0.T
+                     + A0 @ M0 @ G0.T + G0 @ M0 @ A0.T)
+            x_bar_n = X_n[:n]
+            sm_n = None
 
         c_out = MHECarry(U=U_s[:-m], Y=Y_n, T=T_n, Xmin=Xmin_n, PX=PX_n, PY=PY_n,
-                         X=X_n, V=V_n, W=W_n, x_bar=x_bar_n, P=P_new)
+                         X=X_n, V=V_n, W=W_n, x_bar=x_bar_n, P=P_new, sm=sm_n)
         return c_out, xhat_corr
+
+    def _smooth_update(sm, w_opt, xhat_corr, xkp1k, v_k, w_k, y_k, u_k, t_k,
+                       p_x, p_y):
+        """The 'smooth' arrival-cost update, traced: bookkeeping KF with the
+        Feng cross-covariance term (Estimator.py:558-622), backward Riccati
+        smoother (654-664), and the stacked correction-matrix assembly
+        (686-735) — all static shapes, Python loops unrolled at trace."""
+        # current-stage linearization
+        Hd = hess_wv(jnp.concatenate([w_k, v_k]), t_k)
+        H_k = jnp.linalg.inv(Hd)
+        Q_k = H_k[:n_w, :n_w]
+        R_k = H_k[-p:, -p:]
+        S_k = H_k[:n_w, -p:]
+        R_kk = jnp.linalg.inv(Hd[-p:, -p:])              # Estimator.py:565-566
+        C_k = jac_C(xhat_corr, u_k, t_k, p_y)
+        h_k = y_k - C_k @ xhat_corr - v_k
+        args = (xhat_corr, u_k, ts, t_k, w_k, p_x)
+        A_k = jac_A(*args)
+        B_k = jac_B(*args)
+        G_k = jac_G(*args)
+        f_k = xkp1k - A_k @ xhat_corr - B_k @ u_k - G_k @ w_k
+
+        # bookkeeping KF step (Estimator.py:590-607; xm_kal itself is
+        # history-only and not carried)
+        inbr = jnp.linalg.inv(C_k @ sm.P_kal @ C_k.T + R_k)
+        K_k = sm.P_kal @ C_k.T @ inbr
+        P_corr_kal = sm.P_kal - K_k @ C_k @ sm.P_kal
+        Pi = sm.P_kal
+        M_k = -K_k @ S_k.T
+        P_kal_n = (A_k @ P_corr_kal @ A_k.T + G_k @ Q_k @ G_k.T
+                   + A_k @ M_k @ G_k.T + G_k @ M_k @ A_k.T)
+
+        # append current stage, full-window views (N stages)
+        bigA_f = jnp.concatenate([sm.bigA, A_k[None]])
+        bigP_f = jnp.concatenate([sm.bigP, Pi[None]])
+        bigPc_f = jnp.concatenate([sm.bigPc, P_corr_kal[None]])
+
+        # backward Riccati smoother (Estimator.py:654-664)
+        Pis = [None] * N
+        Pis[N - 1] = bigPc_f[N - 1]
+        for i in range(N - 2, -1, -1):
+            Pim = jnp.linalg.inv(bigP_f[i + 1])
+            Pis[i] = bigPc_f[i] + bigPc_f[i] @ bigA_f[i].T @ Pim @ (
+                Pis[i + 1] - bigP_f[i + 1]) @ Pim @ bigA_f[i] @ bigPc_f[i]
+        P_new = Pis[1]
+
+        # shift-one-forward rolling buffers (Estimator.py:671-684):
+        # append-then-drop-oldest == drop-oldest-then-append
+        bigA_n = bigA_f[1:]
+        bigP_n = bigP_f[1:]
+        bigPc_n = bigPc_f[1:]
+        bigC_n = jnp.concatenate([sm.bigC[1:], C_k[None]])
+        bigG_n = jnp.concatenate([sm.bigG[1:], G_k[None]])
+        bigB_n = jnp.concatenate([sm.bigB[1:], B_k[None]])
+        bigf_n = jnp.concatenate([sm.bigf[1:], f_k[None]])
+        bigh_n = jnp.concatenate([sm.bigh[1:], h_k[None]])
+        bigQ_n = jnp.concatenate([sm.bigQ[1:], H_k[None]])
+        bigU_n = jnp.concatenate([sm.bigU[1:], u_k[None]])
+
+        # stacked matrices for the (parametric) smoothing correction
+        # (Estimator.py:686-735), over the SHIFTED window
+        idx = N - 1
+        nvars = n + (N - 2) * n_w + (N - 1) * p
+        zdt = w_opt.dtype
+        Hbig = jnp.zeros((p * idx,), dtype=zdt)
+        Cbig = jnp.zeros((p * idx, nvars), dtype=zdt)
+        Arow = jnp.eye(n, dtype=zdt)
+        row0 = jnp.concatenate(
+            [bigC_n[0], jnp.zeros((p, n_w), dtype=zdt), jnp.eye(p, dtype=zdt)],
+            axis=1)
+        Cbig = Cbig.at[0:p, 0 : n + n_w + p].set(row0)
+        Hbig = Hbig.at[:p].set(bigh_n[0])
+        Qbig = P_new
+        Hrow = None
+        for i in range(N - 2):
+            Apad = (jnp.zeros((n, 0), dtype=zdt) if i == 0
+                    else jnp.zeros((n, p), dtype=zdt))
+            Arow = jnp.concatenate([bigA_n[i] @ Arow, Apad, bigG_n[i]], axis=1)
+            Cpad = (jnp.zeros((p, p), dtype=zdt) if i == N - 3
+                    else jnp.zeros((p, n_w + p), dtype=zdt))
+            Crow = jnp.concatenate([bigC_n[i + 1] @ Arow, Cpad,
+                                    jnp.eye(p, dtype=zdt)], axis=1)
+            Cbig = Cbig.at[(i + 1) * p : (i + 2) * p, : Crow.shape[1]].set(Crow)
+            Qbig = _block_diag(Qbig, bigQ_n[i])
+            if i == 0:
+                Hrow = bigB_n[i] @ bigU_n[i] + bigf_n[i]
+            else:
+                Hrow = bigA_n[i] @ Hrow + bigB_n[i] @ bigU_n[i] + bigf_n[i]
+            Hbig = Hbig.at[(i + 1) * p : (i + 2) * p].set(
+                bigC_n[i + 1] @ Hrow + bigh_n[i + 1])
+        Qbig = _block_diag(Qbig, R_kk)
+        Obig = Cbig[:, :n]
+        Gbig = Cbig[:, n:]
+        QRbig = Qbig[n:, n:]
+        Pycondx_inv = jnp.linalg.inv(Gbig @ QRbig @ Gbig.T)
+
+        x_bar_n = w_opt[nxvw : nxvw + n]                 # Estimator.py:749-752
+        sm_n = MHESmoothState(
+            P_kal=P_kal_n, bigA=bigA_n, bigP=bigP_n, bigPc=bigPc_n,
+            bigC=bigC_n, bigG=bigG_n, bigB=bigB_n, bigf=bigf_n, bigh=bigh_n,
+            bigQ=bigQ_n, bigU=bigU_n, Hbig=Hbig, Obig=Obig,
+            Pycondx_inv=Pycondx_inv)
+        return P_new, x_bar_n, sm_n
 
     def carry_from_runtime(rt: "MHERuntime", P_k) -> MHECarry:
         if rt.N_mhe != N:
             raise ValueError("runtime/config N_mhe mismatch")
+        if rt.up != est.mhe_up:
+            raise ValueError("runtime/config mhe_up mismatch")
         if rt.U.shape[0] != (N - 1) * m:
             raise ValueError(
                 "runtime window not full yet: hand off after the step with "
                 f"ksim >= N_mhe - 1 completed (len(U)={rt.U.shape[0]}, "
                 f"need {(N - 1) * m})")
+        sm = None
+        if smooth:
+            if len(rt.bigA) != N - 1:
+                raise ValueError("smooth buffers not in post-shift steady "
+                                 f"state (len={len(rt.bigA)}, need {N - 1})")
+            st = lambda lst: jnp.stack([jnp.asarray(a, dtype=float) for a in lst])
+            sm = MHESmoothState(
+                P_kal=jnp.asarray(rt.P_k_kal, dtype=float),
+                bigA=st(rt.bigA), bigP=st(rt.bigP), bigPc=st(rt.bigPc),
+                bigC=st(rt.bigC), bigG=st(rt.bigG), bigB=st(rt.bigB),
+                bigf=st(rt.bigf), bigh=st(rt.bigh), bigQ=st(rt.bigQ),
+                bigU=st(rt.bigU), Hbig=jnp.asarray(rt.Hbig, dtype=float),
+                Obig=jnp.asarray(rt.Obig, dtype=float),
+                Pycondx_inv=jnp.asarray(rt.Pycondx_inv, dtype=float))
         return MHECarry(
             U=jnp.asarray(rt.U), Y=jnp.asarray(rt.Y), T=jnp.asarray(rt.T),
             Xmin=jnp.asarray(rt.Xmin), PX=jnp.asarray(rt.PX),
             PY=jnp.asarray(rt.PY), X=jnp.asarray(rt.X), V=jnp.asarray(rt.V),
             W=jnp.asarray(rt.W), x_bar=jnp.asarray(rt.x_bar),
-            P=jnp.asarray(P_k, dtype=float))
+            P=jnp.asarray(P_k, dtype=float), sm=sm)
 
     return step, carry_from_runtime

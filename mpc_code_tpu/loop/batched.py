@@ -2,20 +2,29 @@
 
 The interactive simulator (`loop/simulator.py`) mirrors the reference
 driver host-side for fidelity; this module provides the TPU-first
-counterpart: one pure-JAX sampling-instant step (estimate -> target NLP ->
-OCP NLP -> plant) that jits once, `lax.scan`s over time, `vmap`s over
-scenarios, and shards the scenario batch over a device mesh — the
-parallelism the reference lacks entirely (SURVEY.md §2.4: independent
-solves across scenarios are the natural batch axis).
+counterpart: one pure-JAX sampling-instant step (measure -> estimate ->
+target NLP -> OCP NLP -> plant -> adaptation) that jits once, `lax.scan`s
+over time, `vmap`s over scenarios, and shards the scenario batch over a
+device mesh — the parallelism the reference lacks entirely (SURVEY.md
+§2.4: independent solves across scenarios are the natural batch axis).
+
+Full closed-loop fidelity (reference MPC_code.py:485-875): time-varying
+parameters over the horizon, time-varying setpoints, white process and
+measurement noise, real (non-nominal) plant parameters, and the modifier-
+adaptation solves all run inside the traced step.  The exogenous data of
+each instant enters through a :class:`~mpc_code_tpu.loop.schedules.StepInput`
+precomputed host-side once per simulation (``make_step_inputs``) and fed
+to ``lax.scan`` — semantics identical to the host loop, zero host
+round-trips inside the scan.
 
 Feasibility fallbacks are expressed with `jnp.where` masks so one diverged
 scenario cannot stall the batch (reference semantics MPC_code.py:714-718,
 786-805, per-lane).
 
 Estimators supported in traced mode: kalss/lue (static gain), kal, ekf,
-and steady-state MHE (filter update).  MHE's growing-horizon warmup is
-host-driven (reference MPC_code.py:591-598 rebuilds solvers per horizon):
-run `ClosedLoop` for >= N_mhe steps, then hand off via
+and steady-state MHE (filter and smooth updates).  MHE's growing-horizon
+warmup is host-driven (reference MPC_code.py:591-598 rebuilds solvers per
+horizon): run `ClosedLoop` for >= N_mhe steps, then hand off via
 ``init_carry(cfg, mhe=carry_from_runtime(loop.mhe_rt, P),
 state=loop.final_state)`` — the traced continuation is bit-identical to
 the host loop.
@@ -23,7 +32,7 @@ the host loop.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +41,7 @@ import numpy as np
 from mpc_code_tpu.config import MPCConfig
 from mpc_code_tpu.estimators.ekf import ekf
 from mpc_code_tpu.estimators.linear import build_augmented, kalman, kalss, kalss_gain
+from mpc_code_tpu.loop.schedules import StepInput, default_step_input, make_step_inputs
 from mpc_code_tpu.models import (
     build_model,
     build_plant,
@@ -40,7 +50,8 @@ from mpc_code_tpu.models import (
     build_terminal_cost,
 )
 from mpc_code_tpu.ocp.shooting import build_ocp
-from mpc_code_tpu.ocp.target import build_target
+from mpc_code_tpu.ocp.target import build_ssp, build_ssp2, build_target, make_lambda_update
+from mpc_code_tpu.ops.linalg import sqrtm_psd
 from mpc_code_tpu.solver.ipm import make_solver
 from mpc_code_tpu.solver.nlp import STATUS_INFEASIBLE
 
@@ -57,26 +68,39 @@ class MPCCarry(NamedTuple):
     ocp_ok: jnp.ndarray  # last OCP feasibility flag
     t: jnp.ndarray       # time
     mhe: Any = None      # MHECarry window state (kind='mhe' only)
+    lam: Any = None      # modifier-adaptation lambda (Adaptation only)
 
 
 class MPCStepOut(NamedTuple):
-    y: jnp.ndarray
+    x: jnp.ndarray        # plant state at measurement time (history Xp)
+    y: jnp.ndarray        # measured output (history Yp)
+    yhat: jnp.ndarray     # pre-correction model output (history Y_HAT)
     u: jnp.ndarray
     xs: jnp.ndarray
     us: jnp.ndarray
-    xhat: jnp.ndarray
+    ys: jnp.ndarray
+    xhat: jnp.ndarray     # post-correction estimate
     dhat: jnp.ndarray
     status_ss: jnp.ndarray
     status_dyn: jnp.ndarray
     ocp_iters: jnp.ndarray
+    lam: Any = None       # updated lambda (Adaptation only)
+    cor: Any = None       # lam_prev @ (us - us_prev) (Adaptation only)
+    upopt: Any = None     # plant-optimum input (Adaptation only)
+    ypopt: Any = None     # plant-optimum output (Adaptation only)
 
 
-def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
-    """Build ``step(carry: MPCCarry) -> (MPCCarry, MPCStepOut)`` (pure JAX).
+def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None,
+                  use_structured: Optional[bool] = None) -> Callable:
+    """Build ``step(carry, inp=None) -> (MPCCarry, MPCStepOut)`` (pure JAX).
 
-    Setpoints are fixed arrays (time-varying schedules belong to the
-    host-driven simulator).  Returns a single-scenario step; `vmap` it for
-    batches and `lax.scan` it over time.
+    ``inp`` is a :class:`StepInput` with this instant's schedules/noise;
+    when omitted a fixed default (setpoints from ``ysp/usp/xsp``, zero
+    parameters, no noise) is used, so ``step(carry)`` stays valid for
+    steady workloads.  For full-fidelity runs precompute
+    ``make_step_inputs(cfg, Nsim)`` and ``lax.scan(step, c0, inputs)``
+    (see :func:`run_traced`).  `vmap` over carries (shared inputs) for
+    scenario batches.
     """
     nx, nu, ny, nd, N = cfg.nx, cfg.nu, cfg.ny, cfg.nd, cfg.N
     nxu = nx + nu
@@ -98,7 +122,11 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
     # user stage inequalities); dense IPM fallback otherwise
     from mpc_code_tpu.solver.riccati import structured_supported
 
-    use_structured = (not estimating) and structured_supported(cfg)
+    if use_structured is None:
+        use_structured = (not estimating) and structured_supported(cfg)
+    elif use_structured and (estimating or not structured_supported(cfg)):
+        raise ValueError("use_structured=True but the config is not "
+                         "structured-solver eligible")
     if use_structured:
         from mpc_code_tpu.solver.riccati import (
             build_structured_ocp, make_structured_solver,
@@ -112,11 +140,28 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
     elif not estimating:
         ocp_solve = make_solver(ospec.nlp, cfg.sol_opts_dyn)
 
+    adaptation = (not estimating) and cfg.Adaptation
+    if adaptation:
+        ssp_spec = build_ssp(cfg, plant)
+        ssp_solve = make_solver(ssp_spec.nlp, cfg.sol_opts_ss)
+        fss2 = cfg.ss_cost.f_obj if nx != cfg.nxp else fss_obj
+        ssp2_spec = build_ssp2(cfg, plant, fss2)
+        ssp2_solve = make_solver(ssp2_spec.nlp, cfg.sol_opts_ss)
+        lambda_update = make_lambda_update(cfg, model, plant)
+
     est = cfg.estimator
     kind = est.kind
     if kind not in ("kalss", "lue", "kal", "ekf", "mhe"):
         raise ValueError(f"estimator kind {kind!r} unsupported in the traced "
                          "batched step (supported: kalss, lue, kal, ekf, mhe)")
+    if kind == "kal":
+        from mpc_code_tpu.config import LinearModel
+
+        if not isinstance(cfg.model, LinearModel):
+            # reference hard-exits (MPC_code.py:643-646)
+            raise ValueError(
+                "estimator kind 'kal' requires a LinearModel (reference "
+                "MPC_code.py:643-646); use 'ekf' for nonlinear models")
     if kind == "mhe":
         # steady-state (full-window) MHE only: warm up host-side with
         # ClosedLoop/MHERuntime, hand the window to init_carry(..., mhe=...)
@@ -133,16 +178,25 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
     Qkf = None if est.Q_kf is None else jnp.asarray(est.Q_kf, dtype=float)
     Rkf = None if est.R_kf is None else jnp.asarray(est.R_kf, dtype=float)
 
-    ysp = jnp.zeros(ny) if ysp is None else jnp.asarray(ysp, dtype=float)
-    usp = jnp.zeros(nu) if usp is None else jnp.asarray(usp, dtype=float)
-    xsp = jnp.zeros(nx) if xsp is None else jnp.asarray(xsp, dtype=float)
+    default_inp = default_step_input(cfg, ysp=ysp, usp=usp, xsp=xsp)
 
-    npx, npy = cfg.npx, cfg.npy
+    npx, npy, npxp, npyp = cfg.npx, cfg.npy, cfg.npxp, cfg.npyp
     zero_lam = jnp.zeros((ny, nu))
-    px_h = jnp.zeros((N, npx))
-    py_h = jnp.zeros((N, npy))
     dmin = None if cfg.bounds.dmin is None else jnp.asarray(cfg.bounds.dmin, float).reshape(-1)
     dmax = None if cfg.bounds.dmax is None else jnp.asarray(cfg.bounds.dmax, float).reshape(-1)
+
+    # noise shaping (MPC_code.py:537-541, 823-827)
+    Rv = (None if cfg.R_wn is None
+          else jnp.asarray(np.asarray(sqrtm_psd(np.asarray(cfg.R_wn, float)))))
+    GQw = None
+    if cfg.Q_wn is not None and cfg.G_wn is not None:
+        Qw = np.asarray(sqrtm_psd(np.asarray(cfg.Q_wn, float)))
+        GQw = jnp.asarray(np.asarray(cfg.G_wn, float) @ Qw)
+
+    x0_m = jnp.asarray(np.asarray(cfg.x0_m, float).reshape(-1))
+    u0 = jnp.asarray(np.asarray(cfg.u0, float).reshape(-1))
+    if adaptation or (not estimating and not plant.nominal):
+        x0_p = jnp.asarray(np.asarray(cfg.x0_p, float).reshape(-1))
 
     if not estimating:
         t_lbw = jnp.asarray(tspec.lbw)
@@ -155,18 +209,26 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
         o_ubg = jnp.asarray(ospec.ubg)
         nw, ns = ospec.nw, ospec.ns
 
-    def step(c: MPCCarry):
+    def step(c: MPCCarry, inp: Optional[StepInput] = None):
+        if inp is None:
+            inp = default_inp
         t_k = c.t
-        px0 = px_h[0]
-        py0 = py_h[0]
+        px0 = inp.px_h[0]
+        py0 = inp.py_h[0]
+        lam_k = c.lam if adaptation else zero_lam
 
-        # measurement
+        # pre-correction model output (MPC_code.py:524)
+        yhat_k = model.fy(c.xhat, c.u, c.dhat, t_k, py0)
+
+        # measurement (MPC_code.py:531-541)
         if plant.nominal:
             y_k = plant.fy(c.x, c.u, c.dhat, t_k, py0)
         else:
-            y_k = plant.fy(c.x, c.u, jnp.zeros(cfg.npyp), t_k, jnp.zeros(cfg.npyp))
+            y_k = plant.fy(c.x, c.u, inp.pyp, t_k, inp.pymp)
+        if Rv is not None:
+            y_k = y_k + Rv @ inp.v_wn
 
-        # estimator
+        # estimator (MPC_code.py:546-668)
         x_es = jnp.concatenate([c.xhat, c.dhat]) if cfg.dist.offree != "no" else c.xhat
         P = c.P
         mhe_c = c.mhe
@@ -182,38 +244,48 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
             xhat = x_es[:nx]
             dhat = x_es[nx : nx + nd]
             if dmin is not None:
-                dhat = jnp.clip(dhat, dmin, dmax)
+                dhat = jnp.clip(dhat, dmin, dmax)      # MPC_code.py:660-665
         else:
             xhat, dhat = x_es, c.dhat
+
+        def plant_step(x, u):
+            # plant update incl. process noise (MPC_code.py:813-827)
+            if plant.nominal:
+                xn = plant.fx(x, u, cfg.h, dhat, t_k, inp.pxmp)
+            else:
+                xn = plant.fx(x, u, inp.pxp, t_k, cfg.h, inp.pxmp)
+            if GQw is not None:
+                xn = xn + GQw @ inp.w_wn
+            return xn
 
         if estimating:
             # estimation-only mode (MPC_code.py:200, 675): no target/OCP,
             # the input is never recomputed.  The CORRECTION is carried —
             # the filters do their own time update internally, exactly as
             # the host loop's estimating flow (simulator.py)
-            if plant.nominal:
-                x_next = plant.fx(c.x, c.u, cfg.h, dhat, t_k, jnp.zeros(npx))
-            else:
-                x_next = plant.fx(c.x, c.u, jnp.zeros(cfg.npxp), t_k, cfg.h,
-                                  jnp.zeros(cfg.npxp))
-            xhat_next = xhat
+            x_next = plant_step(c.x, c.u)
             zero_i = jnp.asarray(0, jnp.int32)
-            carry = MPCCarry(x=x_next, xhat=xhat_next, dhat=dhat, P=P, u=c.u,
+            carry = MPCCarry(x=x_next, xhat=xhat, dhat=dhat, P=P, u=c.u,
                              xs=c.xs, us=c.us, w_prev=c.w_prev,
-                             ocp_ok=c.ocp_ok, t=t_k + cfg.h, mhe=mhe_c)
-            out = MPCStepOut(y=y_k, u=c.u, xs=c.xs, us=c.us, xhat=xhat,
-                             dhat=dhat, status_ss=zero_i, status_dyn=zero_i,
+                             ocp_ok=c.ocp_ok, t=t_k + cfg.h, mhe=mhe_c,
+                             lam=c.lam)
+            out = MPCStepOut(x=c.x, y=y_k, yhat=yhat_k, u=c.u, xs=c.xs,
+                             us=c.us, ys=yhat_k, xhat=xhat, dhat=dhat,
+                             status_ss=zero_i, status_dyn=zero_i,
                              ocp_iters=zero_i)
             return carry, out
 
-        # target problem
-        par_ss = dict(usp=usp, ysp=ysp, xsp=xsp, d=dhat, us_prev=c.us,
-                      lam=zero_lam, t=t_k, px=px0, py=py0)
-        wss0 = jnp.concatenate([xhat, c.us, model.fy(xhat, c.us, dhat, t_k, py0)])
+        # target problem (MPC_code.py:693-718); guess mirrors the host
+        # loop's fixed x0_m/u0-based guess
+        par_ss = dict(usp=inp.usp, ysp=inp.ysp, xsp=inp.xsp, d=dhat,
+                      us_prev=c.us, lam=lam_k, t=t_k, px=px0, py=py0)
+        wss0 = jnp.concatenate([x0_m, u0, model.fy(x0_m, u0, dhat, t_k, py0)])
         rss = target_solve(wss0, par_ss, t_lbw, t_ubw, t_lbg, t_ubg)
         ss_ok = rss.status != STATUS_INFEASIBLE
         xs = jnp.where(ss_ok, rss.w[:nx], c.xs)           # MPC_code.py:714-718
         us = jnp.where(ss_ok, rss.w[nx:nxu], c.us)
+        cor = lam_k @ (us - c.us) if adaptation else None  # MPC_code.py:721-724
+        ys = model.fy(xs, us, dhat, t_k, py0)              # MPC_code.py:730-731
 
         # OCP with pinned x0 and shifted warm start (flat layout carried;
         # MPC_code.py:757-764)
@@ -221,7 +293,7 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
                                    c.w_prev[nw - ns : nw]])
         w0 = jnp.where(c.ocp_ok, shifted, c.w_prev)
         par = dict(x0=xhat, xs=xs, us=us, d=dhat, um1=c.u, t=t_k,
-                   lam=zero_lam, px=px_h, py=py_h)
+                   lam=lam_k, px=inp.px_h, py=inp.py_h)
         if use_structured:
             body0 = w0[: N * nxu].reshape(N, nxu)
             Xg = jnp.concatenate([body0[:, :nx], w0[N * nxu : N * nxu + nx][None]],
@@ -260,21 +332,45 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None) -> Callable:
                                   model.fx(xhat, c.u, cfg.h, dhat, t_k, px0))
             w_prev = jnp.where(ok, r.w, c.w_prev)
 
-        # plant update
-        if plant.nominal:
-            x_next = plant.fx(c.x, u_k, cfg.h, dhat, t_k, jnp.zeros(npx))
-        else:
-            x_next = plant.fx(c.x, u_k, jnp.zeros(cfg.npxp), t_k, cfg.h,
-                              jnp.zeros(cfg.npxp))
+        # plant update (MPC_code.py:813-827)
+        x_next = plant_step(c.x, u_k)
+
+        # modifier adaptation (MPC_code.py:829-874): plant steady state,
+        # lambda filter update, plant economic optimum
+        lam_new, upopt, ypopt = c.lam, None, None
+        if adaptation:
+            par_ssp = dict(t=t_k, us=us, pxp=inp.pxp, pxmp=inp.pxmp, d=dhat)
+            res_p = ssp_solve(x0_p, par_ssp,
+                              jnp.asarray(ssp_spec.lbw), jnp.asarray(ssp_spec.ubw),
+                              jnp.asarray(ssp_spec.lbg), jnp.asarray(ssp_spec.ubg))
+            xs_kp = res_p.w
+            lam_new = lambda_update(lam_k, xs_kp, xs, us, dhat, t_k,
+                                    inp.pxp, inp.pyp, px0, py0,
+                                    inp.pxmp, inp.pymp)
+            par_ssp2 = dict(usp=inp.usp, ysp=inp.ysp,
+                            xsp=jnp.zeros(cfg.nxp), pyp=inp.pyp, t=t_k,
+                            pxp=inp.pxp, pxmp=inp.pxmp, pymp=inp.pymp)
+            if plant.nominal:
+                y0_p = plant.fy(x0_p, u0, dhat, t_k, py0)
+            else:
+                y0_p = plant.fy(x0_p, u0, inp.pyp, t_k, inp.pymp)
+            wss2_0 = jnp.concatenate([x0_p, u0, y0_p])
+            res_p2 = ssp2_solve(wss2_0, par_ssp2,
+                                jnp.asarray(ssp2_spec.lbw), jnp.asarray(ssp2_spec.ubw),
+                                jnp.asarray(ssp2_spec.lbg), jnp.asarray(ssp2_spec.ubg))
+            upopt = res_p2.w[cfg.nxp : cfg.nxp + nu]
+            ypopt = res_p2.w[cfg.nxp + nu :]
 
         carry = MPCCarry(x=x_next, xhat=xhat_next, dhat=dhat, P=P, u=u_k,
                          xs=xs, us=us, w_prev=w_prev, ocp_ok=ok,
-                         t=t_k + cfg.h, mhe=mhe_c)
+                         t=t_k + cfg.h, mhe=mhe_c, lam=lam_new)
         status_dyn = rs.status if use_structured else r.status
         iters_dyn = rs.iters if use_structured else r.iters
-        out = MPCStepOut(y=y_k, u=u_k, xs=xs, us=us, xhat=xhat, dhat=dhat,
+        out = MPCStepOut(x=c.x, y=y_k, yhat=yhat_k, u=u_k, xs=xs, us=us,
+                         ys=ys, xhat=xhat, dhat=dhat,
                          status_ss=rss.status, status_dyn=status_dyn,
-                         ocp_iters=iters_dyn)
+                         ocp_iters=iters_dyn, lam=lam_new, cor=cor,
+                         upopt=upopt, ypopt=ypopt)
         return carry, out
 
     return step
@@ -319,9 +415,10 @@ def init_carry(cfg: MPCConfig, x0=None, mhe=None, state=None) -> MPCCarry:
     body = body.at[:, :nx].set(x0_m).at[:, nx:].set(u0)
     w0 = (w0.at[: N * nxu].set(body.reshape(-1))
           .at[N * nxu : N * nxu + nx].set(x0_m))   # Sl tail (if any) stays 0
+    lam0 = jnp.zeros((cfg.ny, nu)) if cfg.Adaptation and not cfg.estimating else None
     carry = MPCCarry(x=x0, xhat=x0_m, dhat=dhat0, P=P0, u=u0, xs=x0_m, us=u0,
                      w_prev=w0, ocp_ok=jnp.asarray(True), t=jnp.asarray(0.0),
-                     mhe=mhe)
+                     mhe=mhe, lam=lam0)
     if state is not None:
         def _a(v):
             return jnp.asarray(np.asarray(v, float))
@@ -334,4 +431,48 @@ def init_carry(cfg: MPCConfig, x0=None, mhe=None, state=None) -> MPCCarry:
         if state.get("w_opt") is not None and np.asarray(state["w_opt"]).shape == (nw,):
             carry = carry._replace(w_prev=_a(state["w_opt"]),
                                    ocp_ok=jnp.asarray(bool(state["ocp_feasible"])))
+        if state.get("lam") is not None and lam0 is not None:
+            carry = carry._replace(lam=_a(state["lam"]))
     return carry
+
+
+def run_traced(cfg: MPCConfig, carry0: Optional[MPCCarry] = None,
+               Nsim: Optional[int] = None, inputs: Optional[StepInput] = None,
+               t0: float = 0.0, k0: int = 0, jit: bool = True,
+               use_structured: Optional[bool] = None):
+    """Run the full-fidelity closed loop as one ``lax.scan`` over time.
+
+    Single-scenario TPU-first equivalent of ``ClosedLoop.run()``:
+    precomputes the schedule/noise stack, scans the traced step, and
+    returns ``(final_carry, history)`` with simulator-compatible history
+    keys.  ``vmap`` the step yourself (or use
+    ``parallel.mesh.batched_closed_loop``) for scenario batches.
+    """
+    Nsim = cfg.Nsim if Nsim is None else Nsim
+    if inputs is None:
+        inputs = make_step_inputs(cfg, Nsim, t0=t0, k0=k0)
+    if carry0 is None:
+        carry0 = init_carry(cfg)
+    step = make_mpc_step(cfg, use_structured=use_structured)
+
+    def scan_fn(c, i):
+        return step(c, i)
+
+    runner = jax.jit(lambda c, i: jax.lax.scan(scan_fn, c, i)) if jit else (
+        lambda c, i: jax.lax.scan(scan_fn, c, i))
+    carry, outs = runner(carry0, inputs)
+    return carry, history_from_outputs(outs)
+
+
+def history_from_outputs(outs: MPCStepOut) -> Dict[str, np.ndarray]:
+    """Map stacked MPCStepOut arrays to the simulator's history keys."""
+    H = {
+        "Xp": outs.x, "Yp": outs.y, "Y_HAT": outs.yhat, "U": outs.u,
+        "XS": outs.xs, "US": outs.us, "YS": outs.ys, "X_HAT_CORR": outs.xhat,
+        "D_HAT": outs.dhat, "STATUS_SS": outs.status_ss,
+        "STATUS_DYN": outs.status_dyn, "OCP_ITERS": outs.ocp_iters,
+    }
+    if outs.lam is not None:
+        H.update({"LAMBDA": outs.lam, "COR": outs.cor,
+                  "Upopt": outs.upopt, "Ypopt": outs.ypopt})
+    return {k: np.asarray(v) for k, v in H.items() if v is not None}

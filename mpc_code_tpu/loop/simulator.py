@@ -46,20 +46,11 @@ from mpc_code_tpu.models.costs import build_mhe_cost
 from mpc_code_tpu.estimators.linear import build_augmented, kalman, kalss, kalss_gain
 from mpc_code_tpu.estimators.ekf import ekf
 from mpc_code_tpu.ocp.shooting import build_ocp
-from mpc_code_tpu.ocp.target import build_ssp, build_ssp2, build_target
+from mpc_code_tpu.ocp.target import build_ssp, build_ssp2, build_target, make_lambda_update
+from mpc_code_tpu.loop.schedules import eval_setpoints, eval_step_params
 from mpc_code_tpu.ops.linalg import sqrtm_psd
 from mpc_code_tpu.solver.ipm import make_solver
 from mpc_code_tpu.solver.nlp import STATUS_INFEASIBLE
-
-
-def _zeros(n):
-    return np.zeros(n)
-
-
-def _call_or_zeros(fn, t, n):
-    if fn is None:
-        return np.zeros(n)
-    return np.asarray(fn(t), dtype=float).reshape(n)
 
 
 class ClosedLoop:
@@ -104,7 +95,7 @@ class ClosedLoop:
                     fss2 = fss_obj
                 self.ssp2_spec = build_ssp2(cfg, self.plant, fss2)
                 self.ssp2_solve = jax.jit(make_solver(self.ssp2_spec.nlp, cfg.sol_opts_ss))
-                self._lambda_fns = self._build_lambda()
+                self._lambda_fns = jax.jit(make_lambda_update(cfg, self.model, self.plant))
 
         est = cfg.estimator
         self.est_kind = est.kind
@@ -119,6 +110,15 @@ class ClosedLoop:
                 lambda y, u, x, t, py: kalss(self.aug, y, u, self.K_gain, x, t, py)
             )
         elif est.kind == "kal":
+            from mpc_code_tpu.config import LinearModel
+
+            if not isinstance(cfg.model, LinearModel):
+                # reference hard-exits: the time-varying KF's gain comes from
+                # jacobians that are only exact for linear models
+                # (MPC_code.py:643-646)
+                raise ValueError(
+                    "estimator kind 'kal' requires a LinearModel (reference "
+                    "MPC_code.py:643-646); use 'ekf' for nonlinear models")
             Q = jnp.asarray(est.Q_kf, dtype=float)
             R = jnp.asarray(est.R_kf, dtype=float)
             self._kal_step = jax.jit(
@@ -147,38 +147,6 @@ class ClosedLoop:
 
         self._Rv = None if cfg.R_wn is None else np.asarray(sqrtm_psd(np.asarray(cfg.R_wn, float)))
         self._Qw = None if cfg.Q_wn is None else np.asarray(sqrtm_psd(np.asarray(cfg.Q_wn, float)))
-
-    # ------------------------------------------------------------------
-    def _build_lambda(self):
-        """Modifier-adaptation gradient functions (reference: defLambdaT,
-        Utilities.py:498-541): steady-state output sensitivities of model and
-        plant via the implicit-function theorem
-        dy/du = dFy/dx (I - dFx/dx)^{-1} dFx/du."""
-        cfg, model, plant = self.cfg, self.model, self.plant
-
-        def grad_model(xs, us, d, t, px, py):
-            Ax = jax.jacfwd(lambda x: model.fx(x, us, cfg.h, d, t, px))(xs)
-            Bu = jax.jacfwd(lambda u: model.fx(xs, u, cfg.h, d, t, px))(us)
-            Cx = jax.jacfwd(lambda x: model.fy(x, us, d, t, py))(xs)
-            n = Ax.shape[0]
-            return Cx @ jnp.linalg.solve(jnp.eye(n) - Ax, Bu)
-
-        def grad_plant(xps, us, pxp, t, pxmp, pyp, pymp):
-            Ax = jax.jacfwd(lambda x: plant.fx(x, us, pxp, t, cfg.h, pxmp))(xps)
-            Bu = jax.jacfwd(lambda u: plant.fx(xps, u, pxp, t, cfg.h, pxmp))(us)
-            Cx = jax.jacfwd(lambda x: plant.fy(x, us, pyp, t, pymp))(xps)
-            n = Ax.shape[0]
-            return Cx @ jnp.linalg.solve(jnp.eye(n) - Ax, Bu)
-
-        alpha = cfg.alpha_mod
-
-        @jax.jit
-        def lambda_update(lam_prev, xps, xs, us, d, t, pxp, pyp, px, py, pxmp, pymp):
-            gp = grad_plant(xps, us, pxp, t, pxmp, pyp, pymp)
-            gm = grad_model(xs, us, d, t, px, py)
-            return (1 - alpha) * lam_prev + alpha * (gp - gm)  # Utilities.py:535-537
-
-        return lambda_update
 
     # ------------------------------------------------------------------
     def run(self, Nsim: Optional[int] = None, verbose: bool = False) -> Dict[str, np.ndarray]:
@@ -216,29 +184,8 @@ class ClosedLoop:
             t_k = ksim * cfg.h
 
             # -- time-varying parameters over the horizon (MPC_code.py:489-515)
-            if cfg.def_px is not None:
-                px_h = np.stack([_call_or_zeros(cfg.def_px, t_k + i, npx) for i in range(N)])
-            else:
-                px_h = np.zeros((N, npx))
-            if cfg.def_py is not None:
-                py_h = np.stack([_call_or_zeros(cfg.def_py, t_k + i, npy) for i in range(N)])
-            else:
-                py_h = np.zeros((N, npy))
+            px_h, py_h, p_xp, p_yp, p_xmp, p_ymp = eval_step_params(cfg, t_k)
             p_x_k, p_y_k = px_h[0], py_h[0]
-            if cfg.def_px is not None and cfg.def_pxmp is not None:
-                p_xmp = _call_or_zeros(cfg.def_pxmp, t_k, npxp)
-            elif cfg.def_px is not None:
-                p_xmp = p_x_k
-            else:
-                p_xmp = np.zeros(npxp)
-            if cfg.def_py is not None and cfg.def_pymp is not None:
-                p_ymp = _call_or_zeros(cfg.def_pymp, t_k, npyp)
-            elif cfg.def_py is not None:
-                p_ymp = p_y_k
-            else:
-                p_ymp = np.zeros(npyp)
-            p_xp = _call_or_zeros(cfg.def_pxp, t_k, npxp)
-            p_yp = _call_or_zeros(cfg.def_pyp, t_k, npyp)
 
             H["Xp"].append(x_k.copy())
             H["X_HAT"].append(xhat_k.copy())
@@ -291,13 +238,10 @@ class ClosedLoop:
 
             if not cfg.estimating:
                 # -- setpoints (MPC_code.py:677-680)
+                ysp_k, usp_k, xsp_k = eval_setpoints(cfg, t_k)
                 if cfg.defSP is not None:
-                    ysp_k, usp_k, xsp_k = (np.asarray(v, float).reshape(-1)
-                                           for v in cfg.defSP(t_k))
                     H["Ysp"].append(ysp_k.copy())
                     H["Usp"].append(usp_k.copy())
-                else:
-                    ysp_k, usp_k, xsp_k = np.zeros(ny), np.zeros(nu), np.zeros(nx)
 
                 if ksim == 0:
                     us_k = u_k.copy()
@@ -438,5 +382,6 @@ class ClosedLoop:
             us=None if us_k is None else np.asarray(us_k).copy(),
             w_opt=None if w_opt is None else np.asarray(w_opt).copy(),
             ocp_feasible=bool(ocp_feasible), t=Nsim * cfg.h,
+            lam=np.asarray(lam_k).copy(),
         )
         return {k: np.stack(v) if v else np.zeros((0,)) for k, v in H.items()}

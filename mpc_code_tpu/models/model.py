@@ -267,15 +267,6 @@ def build_mhe_model(cfg: MPCConfig, model: ModelFns) -> Callable:
         def core(x, u, k, d, t, px, w):
             return est.fx_mhe_dis(x, u, d, t, px, w)           # Utilities.py:776-780
 
-    else:
-
-        def core(x, u, k, d, t, px, w):
-            # reuse the bare controller model (without its own Bd/px add-ons
-            # re-applied below): subtract nothing — the generic augmentation
-            # below only applies when a dedicated MHE map is given, so here
-            # we fall back to the driver-style augmentation of Fx_model.
-            raise NotImplementedError
-
     if est.fx_mhe_cont is not None or est.fx_mhe_dis is not None:
 
         def fx_mhe(csi, u, k, t, w, px):

@@ -185,6 +185,45 @@ def build_ssp2(cfg: MPCConfig, plant: PlantFns, fss_obj2: Callable) -> TargetSpe
                       lbw=lbw, ubw=ubw, lbg=np.zeros(ng), ubg=np.zeros(ng))
 
 
+def make_lambda_update(cfg: MPCConfig, model: ModelFns, plant: PlantFns) -> Callable:
+    """Modifier-adaptation lambda update (reference: defLambdaT,
+    Utilities.py:498-541): steady-state output sensitivities of model and
+    plant via the implicit-function theorem
+    ``dy/du = dFy/dx (I - dFx/dx)^{-1} dFx/du``, filtered with alpha_mod
+    (Utilities.py:535-537).  Pure JAX — used by both the host simulator and
+    the traced batched step.
+    """
+
+    def grad_model(xs, us, d, t, px, py):
+        Ax = jax.jacfwd(lambda x: model.fx(x, us, cfg.h, d, t, px))(xs)
+        Bu = jax.jacfwd(lambda u: model.fx(xs, u, cfg.h, d, t, px))(us)
+        Cx = jax.jacfwd(lambda x: model.fy(x, us, d, t, py))(xs)
+        n = Ax.shape[0]
+        return Cx @ jnp.linalg.solve(jnp.eye(n, dtype=Ax.dtype) - Ax, Bu)
+
+    def grad_plant(xps, us, pxp, t, pxmp, pyp, pymp):
+        if plant.nominal:
+            fx = lambda x, u: plant.fx(x, u, cfg.h, jnp.zeros(cfg.nd), t, pxmp)
+            fy = lambda x: plant.fy(x, us, jnp.zeros(cfg.nd), t, pyp)
+        else:
+            fx = lambda x, u: plant.fx(x, u, pxp, t, cfg.h, pxmp)
+            fy = lambda x: plant.fy(x, us, pyp, t, pymp)
+        Ax = jax.jacfwd(lambda x: fx(x, us))(xps)
+        Bu = jax.jacfwd(lambda u: fx(xps, u))(us)
+        Cx = jax.jacfwd(fy)(xps)
+        n = Ax.shape[0]
+        return Cx @ jnp.linalg.solve(jnp.eye(n, dtype=Ax.dtype) - Ax, Bu)
+
+    alpha = cfg.alpha_mod
+
+    def lambda_update(lam_prev, xps, xs, us, d, t, pxp, pyp, px, py, pxmp, pymp):
+        gp = grad_plant(xps, us, pxp, t, pxmp, pyp, pymp)
+        gm = grad_model(xs, us, d, t, px, py)
+        return (1 - alpha) * lam_prev + alpha * (gp - gm)   # Utilities.py:535-537
+
+    return lambda_update
+
+
 def build_ss_id(cfg: MPCConfig, model: ModelFns) -> TargetSpec:
     """Steady-state hunt for auto-linearization (SS_JAC_ID.opt_ss_id,
     SS_JAC_ID.py:124-201): minimize ||Fx-xs||^2 + ||Fy-ys||^2 subject to the

@@ -53,9 +53,16 @@ def shard_batch(tree, mesh: Mesh, axis: str = "batch"):
 
 
 def batched_closed_loop(cfg: MPCConfig, x0_batch, n_steps: int,
-                        mesh: Optional[Mesh] = None, ysp=None, usp=None, xsp=None):
+                        mesh: Optional[Mesh] = None, ysp=None, usp=None,
+                        xsp=None, inputs=None):
     """Run `n_steps` of the full MPC loop for a batch of initial states,
     vmapped over scenarios and (optionally) sharded over a mesh.
+
+    ``inputs``: optional ``StepInput`` stack (leading ``(n_steps,)`` axis,
+    from ``make_step_inputs``) carrying time-varying parameter/setpoint
+    schedules and noise, shared across scenario lanes (replicated over the
+    mesh).  Without it the step runs at fixed setpoints with zero
+    schedules — the steady benchmark configuration.
 
     Returns (final_carry, outputs) with outputs leaves shaped
     (n_steps, batch, ...).  This is the throughput/scaling workhorse: one
@@ -63,24 +70,26 @@ def batched_closed_loop(cfg: MPCConfig, x0_batch, n_steps: int,
     scenario lane.
     """
     step = make_mpc_step(cfg, ysp=ysp, usp=usp, xsp=xsp)
-    vstep = jax.vmap(step)
+    vstep = jax.vmap(step, in_axes=(0, None))
 
-    def run(carry):
-        def body(c, _):
-            return vstep(c)
+    def run(carry, inp):
+        def body(c, i):
+            return vstep(c, i)
 
-        return lax.scan(body, carry, None, length=n_steps)
+        return lax.scan(body, carry, inp, length=n_steps)
 
     x0_batch = jnp.asarray(x0_batch)
-    B = x0_batch.shape[0]
     carry0 = jax.vmap(lambda x0: init_carry(cfg, x0))(x0_batch)
 
     if mesh is not None:
         sharding = NamedSharding(mesh, P("batch"))
         carry0 = jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), carry0)
-        run = jax.jit(run, in_shardings=(jax.tree_util.tree_map(lambda _: sharding, carry0),),
-                      out_shardings=None)
+        repl = NamedSharding(mesh, P())
+        run = jax.jit(run, in_shardings=(
+            jax.tree_util.tree_map(lambda _: sharding, carry0),
+            jax.tree_util.tree_map(lambda _: repl, inputs)),
+            out_shardings=None)
     else:
         run = jax.jit(run)
 
-    return run(carry0)
+    return run(carry0, inputs)

@@ -46,11 +46,11 @@ def vfin(dx, xs):
     return 100.0 * (dx @ dx)
 
 
-def test_modifier_adaptation_tracks_plant_optimum():
+def make_adaptation_config(Nsim=25):
     nd = 2
-    cfg = MPCConfig(
+    return MPCConfig(
         nx=2, nxp=2, nu=1, ny=2, nd=nd,
-        Nsim=25, N=10, h=2.0,
+        Nsim=Nsim, N=10, h=2.0,
         StateFeedback=True,
         model=ContinuousModel(fx=fxm, Mx=10),
         plant=ContinuousPlant(fx=fxp, Mx=10),
@@ -65,6 +65,10 @@ def test_modifier_adaptation_tracks_plant_optimum():
                       xmin=np.zeros(2), xmax=np.ones(2)),
         Adaptation=True,
     )
+
+
+def test_modifier_adaptation_tracks_plant_optimum():
+    cfg = make_adaptation_config()
     H = ClosedLoop(cfg).run()
     assert (np.asarray(H["STATUS_SS"]) != 2).all()
     assert (np.asarray(H["STATUS_DYN"]) != 2).all()

@@ -1,0 +1,95 @@
+"""Full-fidelity parity: traced `lax.scan` loop vs the host-driven
+`ClosedLoop` on the reference example configs.
+
+The traced batched step (loop/batched.py) must reproduce the host loop's
+closed-loop semantics end to end — time-varying parameter schedules
+(MPC_code.py:489-515), time-varying setpoints (677-680), white noise
+(537-541, 823-827), real plant parameters, infeasibility fallbacks, and
+the modifier-adaptation solves (829-874).  The host loop and the traced
+loop share the schedule evaluation (loop/schedules.py) and the noise
+stream (same `np.random.default_rng(noise_seed)` draw order), so on
+CPU/f64 with the same (dense) solver the trajectories agree to solver
+tolerance; with the structured Riccati fast path they agree to the
+documented structured-vs-dense solver tolerance.
+"""
+
+import numpy as np
+import pytest
+
+from mpc_code_tpu.loop import ClosedLoop
+from mpc_code_tpu.loop.batched import run_traced
+
+KEYS = ("U", "Xp", "XS", "US", "D_HAT", "Yp")
+
+
+def _cfg(name, steps, N):
+    mod = __import__(f"mpc_code_tpu.examples.{name}", fromlist=["make_config"])
+    return mod.make_config(Nsim=steps).replace(N=N)
+
+
+def _compare(cfg, steps, rtol, atol, use_structured=None, keys=KEYS):
+    H = ClosedLoop(cfg).run()
+    _, Ht = run_traced(cfg, Nsim=steps, use_structured=use_structured)
+    assert (Ht["STATUS_DYN"] == np.asarray(H["STATUS_DYN"])).all()
+    assert (Ht["STATUS_SS"] == np.asarray(H["STATUS_SS"])).all()
+    for k in keys:
+        np.testing.assert_allclose(Ht[k], H[k], rtol=rtol, atol=atol,
+                                    err_msg=f"history key {k}")
+
+
+def test_wb_dense_exact():
+    # same dense solver on both paths: agreement limited only by
+    # iteration-order effects, so the tolerance is near roundoff
+    cfg = _cfg("lmpc_wb", 20, 10)
+    _compare(cfg, 20, rtol=1e-9, atol=1e-10, use_structured=False)
+
+
+def test_wb_structured():
+    cfg = _cfg("lmpc_wb", 20, 10)
+    _compare(cfg, 20, rtol=1e-6, atol=1e-7)
+
+
+def test_cstr_schedules():
+    # def_pxp/def_pyp disturbance schedules + defSP setpoint steps +
+    # state/output bounds with infeasible early steps (fallback parity);
+    # structured fast path vs host dense (production configuration)
+    cfg = _cfg("lmpc_cstr", 25, 12)
+    _compare(cfg, 25, rtol=1e-4, atol=1e-5)
+
+
+def test_nlplant():
+    # dense path on both sides -> threading fidelity at solver roundoff
+    cfg = _cfg("lmpc_nlplant", 16, 10)
+    _compare(cfg, 16, rtol=1e-8, atol=1e-8, use_structured=False)
+
+
+def test_xp_nlplant():
+    # nx=4 model vs nxp=3 plant: exercises the nx != nxp threading
+    cfg = _cfg("lmpcxp_nlplant", 16, 10)
+    _compare(cfg, 16, rtol=1e-8, atol=1e-8, use_structured=False)
+
+
+def test_nmpc_noise_ekf():
+    # EKF + measurement white noise: the traced noise stream must match
+    # the host rng draw order exactly
+    cfg = _cfg("nmpc", 12, 10)
+    _compare(cfg, 12, rtol=1e-8, atol=1e-8, use_structured=False)
+
+
+def test_nmpc_dis_schedules():
+    # discrete quadruple tank + def_pxp schedule + Delta-u bounds
+    cfg = _cfg("nmpc_dis", 14, 10)
+    _compare(cfg, 14, rtol=1e-8, atol=1e-8, use_structured=False)
+
+
+def test_adaptation_traced():
+    # modifier adaptation fully inside the traced step: ssp solve, lambda
+    # IFT update, ssp2 plant optimum (MPC_code.py:829-874)
+    from tests.test_adaptation import make_adaptation_config
+
+    cfg = make_adaptation_config(Nsim=12)
+    H = ClosedLoop(cfg).run()
+    _, Ht = run_traced(cfg, Nsim=12)
+    for k in ("U", "XS", "US", "LAMBDA", "COR", "Upopt", "Ypopt"):
+        np.testing.assert_allclose(Ht[k], H[k], rtol=1e-6, atol=1e-8,
+                                    err_msg=f"history key {k}")
