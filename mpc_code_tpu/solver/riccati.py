@@ -56,14 +56,17 @@ _THETA_MU = 1.5
 def structured_supported(cfg: MPCConfig) -> bool:
     """True when the OCP fits the stagewise Riccati structure.
 
-    Unsupported: collocation, terminal equality, user stage EQUALITIES
-    (interior slack elimination needs strict interiors), and slack-softened
-    user inequalities (slacksG — the shared-slack augmentation currently
-    covers output bounds only).  ContForm (continuous-quadrature economic
-    stage cost), user stage inequalities G_ineq and shared output slacks
-    are supported.
+    Unsupported: user stage EQUALITIES (interior slack elimination needs
+    strict interiors), slack-softened user inequalities (slacksG — the
+    shared-slack augmentation currently covers output bounds only), and
+    the ContForm x Collocation combination.  ContForm (continuous-
+    quadrature economic stage cost), user stage inequalities G_ineq,
+    shared output slacks, terminal equality (TermCons — constrained
+    Riccati with a terminal multiplier), and Gauss-Legendre collocation
+    (exact within-stage condensation of the implicit RK step) are
+    supported.
     """
-    if cfg.Collocation or cfg.TermCons:
+    if cfg.Collocation and cfg.ContForm:
         return False
     if cfg.H_eq is not None:
         return False
@@ -96,6 +99,8 @@ class StructuredOCP:
     si: np.ndarray
     ns: int = 0                 # shared slack count folded into xa/u tails
     nu_ctrl: int = 0            # true control count (nu minus slack slots)
+    n_tc: int = 0               # terminal-equality rows (TermCons: nx)
+    tc_target: Optional[Callable] = None  # p -> scaled target for x_N[:n_tc]
 
 
 class StructResult(NamedTuple):
@@ -108,15 +113,33 @@ class StructResult(NamedTuple):
     feas_err: jnp.ndarray
 
 
-def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin) -> StructuredOCP:
-    """Map the reference OCP (opt_dyn form) onto the stagewise structure.
+def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
+                         stagewise_px: bool = False,
+                         n_colloc_newton: int = 8) -> StructuredOCP:
+    """Map the reference OCP (opt_dyn / opt_dyn_CM form) onto the stagewise
+    structure.
 
     Uses the same parameter pytree as `build_ocp`:
     {x0, xs, us, d, um1, t, lam, px (N,npx), py (N,npy)}.
+
+    Collocation (opt_dyn_CM, Control_Calc.py:264-567) is handled by EXACT
+    within-stage condensation: the 2-point Gauss-Legendre stage states
+    s1, s2 are defined by the collocation equations
+    1/h * D (S - x) = f(S, u), a smooth implicit system solved by Newton
+    inside the stage map, with implicit-function-theorem derivatives (one
+    differentiable Newton step around the stop-gradded root).  Eliminating
+    variables via their defining equalities (with their multipliers) leaves
+    the KKT conditions of the reduced problem identical to the dense
+    simultaneous transcription's, so the two paths converge to the same
+    point; the stage block stays (nxa + nu) instead of (3nx + nu).  The
+    reference's stage-0 px freeze quirk (par_xmk[:,0], Control_Calc.py:
+    473-474) is reproduced; pass `stagewise_px=True` for the corrected
+    behavior.  State box bounds on s1/s2 (Control_Calc.py:552-556) become
+    stage inequality rows on the condensed S(x, u).
     """
     if not structured_supported(cfg):
         raise ValueError("structured path: unsupported OCP features "
-                         "(ContForm/Collocation/TermCons/H_eq/slacksG)")
+                         "(ContForm x Collocation/H_eq/slacksG)")
     from mpc_code_tpu.ocp.shooting import _user_constraint_dim
 
     ng_user = _user_constraint_dim(cfg.G_ineq, cfg)
@@ -163,11 +186,15 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin) -> Struct
             raise ValueError("slacks=True requires Ws")
         Ws_j = jnp.asarray(np.asarray(cfg.Ws, float)[:ns, :ns])
 
+    colloc = bool(cfg.Collocation)
+    x_box = xmin is not None or xmax is not None
+    ni_coll = 2 * nx if (colloc and x_box) else 0  # s1,s2 box rows
+
     nup = nu if du_coupled else 0
     nxa = nx + nup + ns
     nu_eff = nu + ns
     ni = ((0 if y_free else ((2 * ny) if slacks else ny))
-          + (nu if du_bounds else 0) + ng_user)
+          + (nu if du_bounds else 0) + ng_user + ni_coll)
 
     def split(xa):
         """xa = [x; (u_prev); (s_carried)] -> (x, u_prev|None, s|None)."""
@@ -204,11 +231,54 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin) -> Struct
             return integ_cont(x, p["t"], cfg.h, u, p["d"], p["px"][k],
                               p["xs"], p["us"], p["py"][k])
 
+    if colloc:
+        # exact condensation of the 2-point Gauss-Legendre stage system
+        # (see docstring); tableau matches ocp/collocation.py
+        from mpc_code_tpu.ocp.collocation import _AD, _BT
+
+        user_fx_coll = cfg.model.fx
+        h_c = cfg.h
+
+        def _coll_res(S, x, u, d, t, px):
+            s1, s2 = S[:nx], S[nx:]
+            r1 = ((_AD[0, 0] * (s1 - x) + _AD[0, 1] * (s2 - x)) / h_c
+                  - user_fx_coll(s1, u, d, t, px))
+            r2 = ((_AD[1, 0] * (s1 - x) + _AD[1, 1] * (s2 - x)) / h_c
+                  - user_fx_coll(s2, u, d, t, px))
+            return jnp.concatenate([r1, r2])
+
+        def _coll_S(x, u, k, p):
+            # px frozen at stage 0 per the reference quirk
+            px_k = p["px"][k] if stagewise_px else p["px"][0]
+            d_, t_ = p["d"], p["t"]
+
+            def newton(S, _):
+                J = jax.jacfwd(_coll_res)(S, x, u, d_, t_, px_k)
+                S = S - jnp.linalg.solve(J, _coll_res(S, x, u, d_, t_, px_k))
+                return S, None
+
+            S0 = jnp.concatenate([x, x])
+            S_star, _ = lax.scan(newton, S0, None, length=n_colloc_newton)
+            # IFT: one differentiable Newton step around the stop-gradded
+            # root gives exact first-order derivatives (residual ~ 0)
+            S_star = lax.stop_gradient(S_star)
+            J = jax.jacfwd(_coll_res)(S_star, x, u, d_, t_, px_k)
+            return S_star - jnp.linalg.solve(
+                J, _coll_res(S_star, x, u, d_, t_, px_k))
+
+        def _coll_next(x, u, k, p):
+            S = _coll_S(x, u, k, p)
+            s1, s2 = S[:nx], S[nx:]
+            xn = x + _BT[0] * (s1 - x) + _BT[1] * (s2 - x)   # Control_Calc.py:437
+            return xn, S
+
     def dyn(xa, ua, k, p):
         x, _, s_st = split(xa)
         u, s_in = split_u(ua)
         if cont_form:
             xn = _cont_step(x, u, k, p)[0]
+        elif colloc:
+            xn = _coll_next(x, u, k, p)[0]
         else:
             xn = model.fx(x, u, cfg.h, p["d"], p["t"], p["px"][k])
         parts = [xn]
@@ -241,7 +311,15 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin) -> Struct
             if cfg.DUForm:
                 du = du_k
             us_obj = du_k if cfg.DUFormEcon else p["us"]
-            val = f_obj(dx, du, dy, p["xs"], us_obj, ys)
+            if colloc:
+                # collocation-aware objective F_obj(..., ds)
+                # (Control_Calc.py:458-464, 483)
+                dS = _coll_S(x, u, k, p)
+                if cfg.QForm:
+                    dS = dS - jnp.concatenate([p["xs"], p["xs"]])
+                val = f_obj(dx, du, dy, p["xs"], us_obj, ys, dS)
+            else:
+                val = f_obj(dx, du, dy, p["xs"], us_obj, ys)
         if slacks:
             # real penalty once (stage 0); PD dummy penalty elsewhere
             val = val + jnp.where(k == 0, N_h * (s_in @ (Ws_j @ s_in)),
@@ -280,6 +358,11 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin) -> Struct
                 yk = y_of(xa, ua, k, p)
                 rows.append(cfg.G_ineq(x, u, yk, p["d"], p["t"],
                                        p["px"][k], p["py"][k]).reshape(-1))
+            if ni_coll:
+                # state box applied to the condensed collocation stage
+                # states s1, s2 (Control_Calc.py:552-556)
+                x = split(xa)[0]
+                rows.append(_coll_S(x, u, k, p))
             return jnp.concatenate(rows)
     else:
         ineq = None
@@ -293,16 +376,22 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin) -> Struct
         y_rows_hi = [np.full(ny, np.inf), y_hi]
     else:
         y_rows_lo, y_rows_hi = [y_lo], [y_hi]
+    s_lo = np.tile(np.asarray(xmin, float) if xmin is not None
+                   else np.full(nx, -np.inf), 2)
+    s_hi = np.tile(np.asarray(xmax, float) if xmax is not None
+                   else np.full(nx, np.inf), 2)
     lbi = np.concatenate(
         ([] if y_free else y_rows_lo)
         + ([np.asarray(b.Dumin if b.Dumin is not None else np.full(nu, -np.inf), float).reshape(-1)]
            if du_bounds else [])
-        + ([np.full(ng_user, -np.inf)] if ng_user else [])) if ni else np.zeros(0)
+        + ([np.full(ng_user, -np.inf)] if ng_user else [])
+        + ([s_lo] if ni_coll else [])) if ni else np.zeros(0)
     ubi = np.concatenate(
         ([] if y_free else y_rows_hi)
         + ([np.asarray(b.Dumax if b.Dumax is not None else np.full(nu, np.inf), float).reshape(-1)]
            if du_bounds else [])
-        + ([np.zeros(ng_user)] if ng_user else [])) if ni else np.zeros(0)
+        + ([np.zeros(ng_user)] if ng_user else [])
+        + ([s_hi] if ni_coll else [])) if ni else np.zeros(0)
 
     lbx = np.concatenate([xmin if xmin is not None else np.full(nx, -np.inf),
                           np.full(nup, -np.inf),
@@ -360,74 +449,128 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin) -> Struct
     def x0_s(p):
         return raw_x0(p) / sxa_j
 
+    # terminal equality x_N = xs (QForm) / x_N = 0 (no QForm — the
+    # reference's literal semantics, Control_Calc.py:196-198: the shift by
+    # xs happens only under QForm); applies to the TRUE state slots of the
+    # augmented terminal state, in scaled units
+    n_tc = nx if cfg.TermCons else 0
+    if n_tc:
+        sx_x = jnp.asarray(sxa[:nx])
+
+        def tc_target(p):
+            if cfg.QForm:
+                return p["xs"] / sx_x
+            return jnp.zeros(nx, dtype=jnp.result_type(p["xs"]))
+    else:
+        tc_target = None
+
     return StructuredOCP(N=cfg.N, nxa=nxa, nu=nu_eff, ni=ni, dyn=dyn_s, cost=cost_s,
                          cost_N=cost_N_s, ineq=ineq_s,
                          lbi=lbi / si, ubi=ubi / si,
                          lbx=lbx / sxa, ubx=ubx / sxa,
                          lbu=lbu / su, ubu=ubu / su,
                          x0_of_p=x0_s, sxa=sxa, su=su, si=si,
-                         ns=ns, nu_ctrl=nu)
+                         ns=ns, nu_ctrl=nu, n_tc=n_tc, tc_target=tc_target)
 
 
-class _SState(NamedTuple):
-    X: jnp.ndarray      # (N+1, nxa) — X[0] pinned
-    U: jnp.ndarray      # (N, nu)
-    S: jnp.ndarray      # (N, ni) slacks
-    lam: jnp.ndarray    # (N, nxa) defect multipliers
-    nus: jnp.ndarray    # (N, ni) inequality multipliers
-    zlx: jnp.ndarray    # (N+1, nxa) bound duals (row 0 inert)
-    zux: jnp.ndarray
-    zlu: jnp.ndarray    # (N, nu)
-    zuu: jnp.ndarray
-    zls: jnp.ndarray    # (N, ni)
-    zus: jnp.ndarray
-    mu: jnp.ndarray
-    nu_pen: jnp.ndarray
-    delta: jnp.ndarray
-    it: jnp.ndarray
-    done: jnp.ndarray
-    kkt0: jnp.ndarray
-    feas: jnp.ndarray
+def _riccati_tc(Hs, q, A, B, rd, PN, pN, rT, *, nxa, nu, n_tc):
+    """Equality-constrained Riccati backward/forward pass (one lane).
 
+    Handles the terminal equality dx_N[:n_tc] + rT = 0 exactly by carrying
+    the value function's affine dependence on the terminal multiplier xi:
 
-def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions(),
-                           parallel: bool = False) -> Callable:
-    """Build ``solve(p, X0, U0) -> StructResult`` (jit/vmap friendly).
+        V_k(dx, xi) = 1/2 dx'P dx + p'dx + xi'(F dx + f) + 1/2 xi'Hm xi
 
-    ``parallel=True`` uses the associative-scan Riccati (log-depth value-
-    function composition).  Measured on TPU v5e at the reference problem
-    sizes (nz<=8, N=50) the sequential recursion is ~4x FASTER end-to-end:
-    the parallel merges need batched tiny-LU solves (slow on TPU) and the
-    intermediate value-function windows require permanent Hessian
-    regularization (more IPM iterations).  Sequential is therefore the
-    default; the parallel path remains available for very long horizons.
+    with terminal element (PN, pN, F=[I 0], f=rT, Hm=0).  Eliminating u
+    stagewise yields the standard Riccati update for (P, p) plus
 
-    X0 (N+1, nxa), U0 (N, nu) warm starts; X0[0] is overwritten by the
-    pinned initial state from p.
+        F_k  = F A + (F B) K          f_k  = f + F r + (F B) kf
+        Hm_k = Hm - (F B) Quu^{-1} (F B)'
+
+    At the root (dx_0 = 0) stationarity over xi gives Hm_0 xi = -f_0; the
+    forward rollout then uses du = kf + K dx + Kxi xi with
+    Kxi = -Quu^{-1} (F B)'.  Multiplier recovery:
+    lam_k = P_{k+1} dx_{k+1} + p_{k+1} + F_{k+1}' xi.
+
+    Replaces the terminal equality rows of the reference OCP
+    (Control_Calc.py:197-198) without a dense KKT factorization.
+    Hm_0 is negative definite when the constrained system is reachable;
+    an indefinite/singular Hm_0 flips `ok` (triggering the caller's
+    regularization bump), exactly like a failed Quu Cholesky.
     """
-    if opts.mu_strategy not in ("monotone", "adaptive"):
-        raise ValueError(f"unknown mu_strategy {opts.mu_strategy!r}: "
-                         "use 'monotone' or 'adaptive'")
-    if opts.hessian not in ("exact", "gauss_newton"):
-        raise ValueError(f"unknown hessian {opts.hessian!r}: "
-                         "use 'exact' or 'gauss_newton'")
-    N, nxa, nu, ni = s.N, s.nxa, s.nu, s.ni
-    nz = nxa + nu
+    N = Hs.shape[0]
+    dtype = Hs.dtype
+    F_N = jnp.zeros((n_tc, nxa), dtype).at[:, :n_tc].set(jnp.eye(n_tc, dtype=dtype))
 
-    # stage derivative builders (vmapped over the horizon)
+    def bk(carry, inp):
+        P, pv, F, fv, Hm, ok = carry
+        Hk, qk, Ak, Bk, rdk = inp
+        Qxx = Hk[:nxa, :nxa] + Ak.T @ P @ Ak
+        Quu = Hk[nxa:, nxa:] + Bk.T @ P @ Bk
+        Qxu = Hk[:nxa, nxa:] + Ak.T @ P @ Bk
+        Pr = pv + P @ rdk
+        qx = qk[:nxa] + Ak.T @ Pr
+        qu = qk[nxa:] + Bk.T @ Pr
+        L = jnp.linalg.cholesky(Quu)
+        ok = ok & jnp.all(jnp.isfinite(L))
+        cho = lambda rhs: jax.scipy.linalg.cho_solve((L, True), rhs)
+        Kk = -cho(Qxu.T)
+        kk = -cho(qu)
+        FB = F @ Bk
+        Kxi = -cho(FB.T)
+        P_new = Qxx + Qxu @ Kk
+        P_new = 0.5 * (P_new + P_new.T)
+        p_new = qx + Qxu @ kk
+        F_new = F @ Ak + FB @ Kk
+        f_new = fv + F @ rdk + FB @ kk
+        Hm_new = Hm + FB @ Kxi
+        Hm_new = 0.5 * (Hm_new + Hm_new.T)
+        return (P_new, p_new, F_new, f_new, Hm_new, ok), (Kk, kk, Kxi, P, pv, F)
+
+    carry0 = (PN, pN, F_N, rT, jnp.zeros((n_tc, n_tc), dtype), jnp.asarray(True))
+    (_, _, _, f0, Hm0, ok), (Ks, kf, Kxis, P_seq, p_seq, F_seq) = lax.scan(
+        bk, carry0, (Hs, q, A, B, rd), reverse=True)
+
+    # xi from Hm_0 xi = -f_0 with -Hm_0 PD (tiny jitter for exact-arithmetic
+    # singular cases flows into the ok flag via the Cholesky)
+    M = -Hm0
+    eps_x = 10.0 * jnp.finfo(dtype).eps * (1.0 + jnp.max(jnp.abs(jnp.diag(M))))
+    Lx = jnp.linalg.cholesky(M + eps_x * jnp.eye(n_tc, dtype=dtype))
+    ok = ok & jnp.all(jnp.isfinite(Lx))
+    xi = jax.scipy.linalg.cho_solve((Lx, True), f0)
+    xi = jnp.nan_to_num(xi, nan=0.0, posinf=0.0, neginf=0.0)
+
+    def fwd(dx, inp):
+        Kk, kk, Kxi, Ak, Bk, rdk = inp
+        du = kk + Kk @ dx + Kxi @ xi
+        dx_next = Ak @ dx + Bk @ du + rdk
+        return dx_next, (dx, du)
+
+    dxN, (dX_head, dU) = lax.scan(fwd, jnp.zeros(nxa, dtype=dtype),
+                                  (Ks, kf, Kxis, A, B, rd))
+    dX = jnp.concatenate([dX_head, dxN[None]], axis=0)
+    return ok, Ks, kf, P_seq, p_seq, F_seq, xi, dX, dU
+
+
+def make_stage_derivs(s: StructuredOCP, hessian: str = "exact") -> Callable:
+    """Per-stage derivative sweep `(xa, u, k, p, lam_k, nu_k) -> (H, gc, A,
+    B, E, ival)` — the IPM's phase-1 work (cost Hessian/gradient, dynamics
+    and inequality Jacobians).  Exposed at module level so the per-phase
+    profiler (`tools/profile_phases.py`) times exactly what the solver
+    runs.  `p["_sf"]` is the objective scaling factor (1.0 if unscaled).
+    """
+    nxa, nu, ni = s.nxa, s.nu, s.ni
+    nz = nxa + nu
+    gauss_newton = hessian == "gauss_newton"
+
     def _cost(xa, u, k, p):
         return p["_sf"] * s.cost(xa, u, k, p)
-
-    def _cost_N(xa, p):
-        return p["_sf"] * s.cost_N(xa, p)
 
     def stage_lagrangian(xa, u, k, p, lam_k, nu_k):
         val = _cost(xa, u, k, p) + lam_k @ s.dyn(xa, u, k, p)
         if ni:
             val = val + nu_k @ s.ineq(xa, u, k, p)
         return val
-
-    gauss_newton = opts.hessian == "gauss_newton"
 
     def stage_derivs(xa, u, k, p, lam_k, nu_k):
         z = jnp.concatenate([xa, u])
@@ -456,6 +599,75 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             ival = jnp.zeros(0)
         return H, gc, Ad, Bd, E, ival
 
+    return stage_derivs
+
+
+class _SState(NamedTuple):
+    X: jnp.ndarray      # (N+1, nxa) — X[0] pinned
+    U: jnp.ndarray      # (N, nu)
+    S: jnp.ndarray      # (N, ni) slacks
+    lam: jnp.ndarray    # (N, nxa) defect multipliers
+    nus: jnp.ndarray    # (N, ni) inequality multipliers
+    zlx: jnp.ndarray    # (N+1, nxa) bound duals (row 0 inert)
+    zux: jnp.ndarray
+    zlu: jnp.ndarray    # (N, nu)
+    zuu: jnp.ndarray
+    zls: jnp.ndarray    # (N, ni)
+    zus: jnp.ndarray
+    mu: jnp.ndarray
+    nu_pen: jnp.ndarray
+    delta: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+    kkt0: jnp.ndarray
+    feas: jnp.ndarray
+    xi: jnp.ndarray     # (n_tc,) terminal-equality multiplier
+    # best-KKT iterate seen so far (returned if the final iterate is worse —
+    # insurance against a late garbage step, e.g. a bound gap collapsing onto
+    # the central path's complementarity-consistent non-stationary branch)
+    bX: jnp.ndarray
+    bU: jnp.ndarray
+    bS: jnp.ndarray
+    bkkt: jnp.ndarray
+    bfeas: jnp.ndarray
+
+
+def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions(),
+                           parallel: bool = False) -> Callable:
+    """Build ``solve(p, X0, U0) -> StructResult`` (jit/vmap friendly).
+
+    ``parallel=True`` uses the associative-scan Riccati (log-depth value-
+    function composition).  Measured on TPU v5e at the reference problem
+    sizes (nz<=8, N=50) the sequential recursion is ~4x FASTER end-to-end:
+    the parallel merges need batched tiny-LU solves (slow on TPU) and the
+    intermediate value-function windows require permanent Hessian
+    regularization (more IPM iterations).  Sequential is therefore the
+    default; the parallel path remains available for very long horizons.
+
+    X0 (N+1, nxa), U0 (N, nu) warm starts; X0[0] is overwritten by the
+    pinned initial state from p.
+    """
+    if opts.mu_strategy not in ("monotone", "adaptive"):
+        raise ValueError(f"unknown mu_strategy {opts.mu_strategy!r}: "
+                         "use 'monotone' or 'adaptive'")
+    if opts.hessian not in ("exact", "gauss_newton"):
+        raise ValueError(f"unknown hessian {opts.hessian!r}: "
+                         "use 'exact' or 'gauss_newton'")
+    N, nxa, nu, ni = s.N, s.nxa, s.nu, s.ni
+    nz = nxa + nu
+    n_tc = s.n_tc
+    termcons = n_tc > 0  # terminal equality: constrained-Riccati KKT path
+    if termcons and parallel:
+        raise ValueError("TermCons is not supported with the parallel-scan "
+                         "Riccati variant; use the sequential default")
+
+    def _cost(xa, u, k, p):
+        return p["_sf"] * s.cost(xa, u, k, p)
+
+    def _cost_N(xa, p):
+        return p["_sf"] * s.cost_N(xa, p)
+
+    stage_derivs = make_stage_derivs(s, opts.hessian)
     v_stage = jax.vmap(stage_derivs, in_axes=(0, 0, 0, None, 0, 0))
     ks = jnp.arange(N)
 
@@ -489,6 +701,7 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
         hui = ubi < INF
 
         x0a = s.x0_of_p(p).astype(dtype)
+        tc_tgt = s.tc_target(p).astype(dtype) if termcons else None
         mu0 = jnp.asarray(opts.mu_init, dtype=dtype)
         sxa_j = jnp.asarray(s.sxa, dtype=dtype)
         su_j = jnp.asarray(s.su, dtype=dtype)
@@ -550,6 +763,10 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
             kkt0=jnp.asarray(jnp.inf, dtype=dtype),
             feas=jnp.asarray(jnp.inf, dtype=dtype),
+            xi=jnp.zeros(n_tc, dtype=dtype),
+            bX=X_init, bU=U_init, bS=S_init,
+            bkkt=jnp.asarray(jnp.inf, dtype=dtype),
+            bfeas=jnp.asarray(jnp.inf, dtype=dtype),
         )
 
         def residuals(X, U, S):
@@ -559,7 +776,8 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 r_i = jax.vmap(s.ineq, in_axes=(0, 0, 0, None))(X[:N], U, ks, p) - S
             else:
                 r_i = jnp.zeros((N, 0), dtype=dtype)
-            return r_d, r_i
+            r_T = (X[N][:n_tc] - tc_tgt) if termcons else jnp.zeros(0, dtype=dtype)
+            return r_d, r_i, r_T
 
         def total_cost(X, U):
             cs = jax.vmap(_cost, in_axes=(0, 0, 0, None))(X[:N], U, ks, p)
@@ -579,7 +797,7 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
         def body(st: _SState) -> _SState:
             X, U, S = st.X, st.U, st.S
             H, gc, A, B, E, ival = v_stage(X[:N], U, ks, p, st.lam, st.nus)
-            r_d, r_i = residuals(X, U, S)
+            r_d, r_i, r_T = residuals(X, U, S)
 
             # --- KKT errors at the CURRENT point, assembled algebraically
             # from the stage data already computed (no second derivative
@@ -597,6 +815,9 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             rx = jnp.concatenate(
                 [gx_full[1:] - st.lam[: N - 1],
                  (gradN - st.lam[N - 1])[None]], axis=0)
+            if termcons:
+                # terminal-equality multiplier enters x_N stationarity
+                rx = rx.at[N - 1, :n_tc].add(st.xi)
             rx = rx - (st.zlx[1:] - st.zux[1:])
             ru = gu_full - (st.zlu - st.zuu)
             rs = -st.nus - (st.zls - st.zus) if ni else jnp.zeros((N, 0), dtype=dtype)
@@ -613,6 +834,9 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                                                  jnp.max(jnp.abs(rs), initial=0.0)))
                 e_feas = jnp.maximum(jnp.max(jnp.abs(r_d), initial=0.0),
                                      jnp.max(jnp.abs(r_i), initial=0.0))
+                if termcons:
+                    e_feas = jnp.maximum(e_feas,
+                                         jnp.max(jnp.abs(r_T), initial=0.0))
                 e_comp = jnp.maximum(
                     comp(X[1:], st.zlx[1:], st.zux[1:], lbx, ubx, hlx, hux, mu_v),
                     jnp.maximum(comp(U, st.zlu, st.zuu, lbu, ubu, hlu, huu, mu_v),
@@ -627,6 +851,13 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             e_mu, _ = kkt_at(st.mu)
             e_0, feas = kkt_at(jnp.zeros_like(st.mu))
             done_now = e_0 <= opts.tol
+            # best-iterate bookkeeping (see _SState.bX docstring)
+            better = e_0 < st.bkkt
+            bX_n = jnp.where(better, X, st.bX)
+            bU_n = jnp.where(better, U, st.bU)
+            bS_n = jnp.where(better, S, st.bS)
+            bkkt_n = jnp.where(better, e_0, st.bkkt)
+            bfeas_n = jnp.where(better, feas, st.bfeas)
             mu = jnp.where(e_mu <= _KAPPA_EPS * st.mu,
                            jnp.maximum(opts.tol / 10.0,
                                        jnp.minimum(_KAPPA_MU * st.mu, st.mu ** _THETA_MU)),
@@ -798,7 +1029,14 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 kf = -cho(Lf, qu_f[..., None])[..., 0]
                 return ok, Ks, kf, P_nxt, p_nxt
 
-            if parallel:
+            if termcons:
+                # constrained Riccati with terminal multiplier (no Pallas
+                # kernel for this rare configuration — plain vmapped scan)
+                solvable, Ks, kf, P_seq, p_seq, F_seq, xi_new, dX, dU = \
+                    _riccati_tc(Hs, q, A, B, r_d, PN_h, pN_g, r_T,
+                                nxa=nxa, nu=nu, n_tc=n_tc)
+                xi_new = jnp.where(solvable, xi_new, st.xi)
+            elif parallel:
                 solvable, Ks, kf, P_seq, p_seq = backward_par(st.delta)
             else:
                 # delta already applied to Hs/PN above; the fused kernel's
@@ -833,12 +1071,15 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 dnu = dS
 
             # defect multipliers from the value-function sequence:
-            # lam_k = P_{k+1} dx_{k+1} + p_{k+1}
+            # lam_k = P_{k+1} dx_{k+1} + p_{k+1} (+ F_{k+1}' xi)
             lam_new = jnp.einsum("kab,kb->ka", P_seq, dX[1:]) + p_seq
+            if termcons:
+                lam_new = lam_new + jnp.einsum("kia,i->ka", F_seq, xi_new)
             lam_new = jnp.nan_to_num(lam_new, nan=0.0, posinf=0.0, neginf=0.0)
             lam_new = jnp.where(solvable, lam_new, st.lam)
 
             dlam = lam_new - st.lam
+            dxi = (xi_new - st.xi) if termcons else st.xi
 
             # --- fraction to boundary + merit line search ---
             tau = jnp.maximum(_TAU_MIN, 1.0 - mu)
@@ -877,9 +1118,13 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                     jnp.minimum(jnp.min(ftb_dual(st.zls, dzls), initial=jnp.inf),
                                 jnp.min(ftb_dual(st.zus, dzus), initial=jnp.inf)))))
 
-            c_norm = jnp.sum(jnp.abs(r_d)) + jnp.sum(jnp.abs(r_i))
+            c_norm = (jnp.sum(jnp.abs(r_d)) + jnp.sum(jnp.abs(r_i))
+                      + jnp.sum(jnp.abs(r_T)))
             lam_inf = jnp.maximum(jnp.max(jnp.abs(lam_new), initial=0.0),
                                   jnp.max(jnp.abs(st.nus + dnu), initial=0.0))
+            if termcons:
+                lam_inf = jnp.maximum(lam_inf,
+                                      jnp.max(jnp.abs(xi_new), initial=0.0))
             nu_pen = jnp.maximum(1.5 * lam_inf + 1e-4, 0.5 * st.nu_pen)
             phi0 = barrier_phi(X, U, S, mu)
             psi0 = phi0 + nu_pen * c_norm
@@ -895,9 +1140,10 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 Xt = X.at[1:].add(a * dX[1:])
                 Ut = U + a * dU
                 St = S + a * dS
-                rd_t, ri_t = residuals(Xt, Ut, St)
+                rd_t, ri_t, rT_t = residuals(Xt, Ut, St)
                 return barrier_phi(Xt, Ut, St, mu) + nu_pen * (
-                    jnp.sum(jnp.abs(rd_t)) + jnp.sum(jnp.abs(ri_t)))
+                    jnp.sum(jnp.abs(rd_t)) + jnp.sum(jnp.abs(ri_t))
+                    + jnp.sum(jnp.abs(rT_t)))
 
             def ls_cond(c):
                 j, acc, _ = c
@@ -908,9 +1154,11 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             psi0_finite = jnp.isfinite(psi0)
 
             def feas_norm(a):
-                rd_t, ri_t = residuals(X.at[1:].add(a * dX[1:]), U + a * dU, S + a * dS)
-                return jnp.sum(jnp.abs(jnp.nan_to_num(rd_t, posinf=1e30, neginf=-1e30))) + \
-                    jnp.sum(jnp.abs(jnp.nan_to_num(ri_t, posinf=1e30, neginf=-1e30)))
+                rd_t, ri_t, rT_t = residuals(X.at[1:].add(a * dX[1:]),
+                                             U + a * dU, S + a * dS)
+                return (jnp.sum(jnp.abs(jnp.nan_to_num(rd_t, posinf=1e30, neginf=-1e30)))
+                        + jnp.sum(jnp.abs(jnp.nan_to_num(ri_t, posinf=1e30, neginf=-1e30)))
+                        + jnp.sum(jnp.abs(jnp.nan_to_num(rT_t, posinf=1e30, neginf=-1e30))))
 
             c_norm_capped = feas_norm(0.0)
 
@@ -938,6 +1186,7 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             S_n = S + alpha * dS
             lam_n = st.lam + alpha * dlam
             nus_n = st.nus + alpha * dnu
+            xi_n = (st.xi + alpha * dxi) if termcons else st.xi
 
             def upd_duals(z_n, zl, zu, dzl, dzu, lb, ub, hl, hu):
                 zl_n = zl + ad * dzl
@@ -968,8 +1217,11 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                           zlx=zlx_n, zux=zux_n, zlu=zlu_n, zuu=zuu_n,
                           zls=zls_n, zus=zus_n, mu=mu, nu_pen=nu_pen,
                           delta=delta_n, it=st.it + 1, done=jnp.asarray(False),
-                          kkt0=e_0, feas=feas)
-            stay = st._replace(done=jnp.asarray(True), kkt0=e_0, feas=feas)
+                          kkt0=e_0, feas=feas, xi=xi_n,
+                          bX=bX_n, bU=bU_n, bS=bS_n, bkkt=bkkt_n, bfeas=bfeas_n)
+            stay = st._replace(done=jnp.asarray(True), kkt0=e_0, feas=feas,
+                               bX=bX_n, bU=bU_n, bS=bS_n, bkkt=bkkt_n,
+                               bfeas=bfeas_n)
             cand = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(done_now, a, b), stay, new)
             return jax.tree_util.tree_map(
@@ -979,14 +1231,26 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             return (~st.done) & (st.it < opts.max_iter)
 
         fin = lax.while_loop(cond, body, st0)
-        status = jnp.where(fin.kkt0 <= opts.tol, STATUS_SOLVED,
-                           jnp.where(fin.feas <= opts.constr_viol_tol,
+        # fall back to the best-KKT iterate only when the final one is
+        # MATERIALLY worse (a late garbage step, e.g. a bound gap collapsing
+        # onto the central path's complementarity-consistent non-stationary
+        # branch can leave kkt0 orders of magnitude above the best seen).
+        # A 10x margin keeps normal convergence — where successive iterates
+        # jitter around the floating-point KKT floor while still polishing
+        # the primal point — on the final iterate.
+        use_best = fin.bkkt < 0.1 * fin.kkt0
+        X_fin = jnp.where(use_best, fin.bX, fin.X)
+        U_fin = jnp.where(use_best, fin.bU, fin.U)
+        kkt_fin = jnp.where(use_best, fin.bkkt, fin.kkt0)
+        feas_fin = jnp.where(use_best, fin.bfeas, fin.feas)
+        status = jnp.where(kkt_fin <= opts.tol, STATUS_SOLVED,
+                           jnp.where(feas_fin <= opts.constr_viol_tol,
                                      STATUS_ACCEPTABLE, STATUS_INFEASIBLE)).astype(jnp.int32)
         p1 = {**p, "_sf": jnp.asarray(1.0, dtype=dtype)}
-        cs = jax.vmap(s.cost, in_axes=(0, 0, 0, None))(fin.X[:N], fin.U, ks, p1)
-        f_val = jnp.sum(cs) + s.cost_N(fin.X[N], p1)
-        return StructResult(X=fin.X * sxa_j, U=fin.U * su_j, f=f_val,
-                            status=status, iters=fin.it, kkt_err=fin.kkt0,
-                            feas_err=fin.feas)
+        cs = jax.vmap(s.cost, in_axes=(0, 0, 0, None))(X_fin[:N], U_fin, ks, p1)
+        f_val = jnp.sum(cs) + s.cost_N(X_fin[N], p1)
+        return StructResult(X=X_fin * sxa_j, U=U_fin * su_j, f=f_val,
+                            status=status, iters=fin.it, kkt_err=kkt_fin,
+                            feas_err=feas_fin)
 
     return solve

@@ -268,3 +268,120 @@ def test_parallel_scan_matches_sequential():
     assert int(r1.status) != 2 and int(r2.status) != 2
     assert np.abs(np.asarray(r1.U) - np.asarray(r2.U)).max() < 2e-2
     assert abs(float(r1.f) - float(r2.f)) < 1e-3
+
+
+def test_structured_termcons_matches_dense():
+    # terminal equality x_N = xs (Control_Calc.py:197-198) through the
+    # constrained-Riccati terminal-multiplier path vs the dense oracle
+    N = 12
+    cfg, model, f_obj, vfin = _setup(N)
+    cfg = cfg.replace(TermCons=True)
+    spec = build_ocp(cfg, model, f_obj, vfin)
+    dense = jax.jit(make_solver(spec.nlp, SolverOptions(max_iter=150)))
+    socp = build_structured_ocp(cfg, model, f_obj, vfin)
+    assert socp.n_tc == cfg.nx
+    struct = jax.jit(make_structured_solver(socp, SolverOptions(max_iter=150)))
+
+    nx, nu = cfg.nx, cfg.nu
+    nxu = nx + nu
+    x0 = np.array([0.7, 328.0, 0.62])
+    par, us = _par(cfg, N, x0)
+    lbw = spec.lbw.copy()
+    ubw = spec.ubw.copy()
+    lbw[:nx] = ubw[:nx] = x0
+    w0 = np.zeros(spec.nw)
+    for k in range(N + 1):
+        w0[k * nxu : k * nxu + nx] = x0
+    for k in range(N):
+        w0[k * nxu + nx : (k + 1) * nxu] = us
+    rd = dense(jnp.asarray(w0), par, lbw, ubw, spec.lbg, spec.ubg)
+    rs = struct(par, jnp.tile(jnp.asarray(x0), (N + 1, 1)),
+                jnp.tile(jnp.asarray(us), (N, 1)))
+    assert int(rd.status) == 0 and int(rs.status) == 0
+    # terminal equality holds exactly (QForm: x_N = xs)
+    xs = np.array([0.874317, 325.0, 0.6528])
+    assert np.abs(np.asarray(rs.X)[N, :nx] - xs).max() < 1e-7
+    wd = np.asarray(rd.w)
+    Ud = np.array([wd[k * nxu + nx : (k + 1) * nxu] for k in range(N)])
+    assert np.abs(Ud - np.asarray(rs.U)).max() < 5e-4
+    assert abs(float(rd.f) - float(rs.f)) < 1e-5 * max(1.0, abs(float(rd.f)))
+
+
+def test_structured_termcons_vmap():
+    N = 8
+    cfg, model, f_obj, vfin = _setup(N)
+    cfg = cfg.replace(TermCons=True)
+    socp = build_structured_ocp(cfg, model, f_obj, vfin)
+    struct = make_structured_solver(socp, SolverOptions(max_iter=150))
+    us = np.array([300.157, 0.1])
+
+    def lane(x0):
+        par, _ = _par(cfg, N, x0)
+        par["x0"] = x0
+        return struct(par, jnp.tile(x0, (N + 1, 1)), jnp.tile(jnp.asarray(us), (N, 1)))
+
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(rng.uniform([0.5, 322, 0.58], [0.9, 333, 0.67], size=(6, 3)))
+    res = jax.jit(jax.vmap(lane))(x0s)
+    assert (np.asarray(res.status) == 0).all()
+    xs = np.array([0.874317, 325.0, 0.6528])
+    assert np.abs(np.asarray(res.X)[:, N, :3] - xs).max() < 1e-7
+
+
+def test_structured_collocation_matches_dense():
+    # 2-point GL collocation through exact within-stage condensation vs the
+    # dense simultaneous transcription (opt_dyn_CM, Control_Calc.py:264-567)
+    from mpc_code_tpu.config import StageCost
+    from mpc_code_tpu.examples import enmpc as ex
+    from mpc_code_tpu.models.costs import xQx
+    from mpc_code_tpu.ocp.collocation import build_ocp_collocation
+
+    Q = np.eye(2)
+    R = np.eye(1)
+
+    def cost(x, u, y, xs, us, ys, s_coll):
+        return 0.5 * (xQx(x - xs, Q) + xQx(u - us, R))
+
+    N = 8
+    cfg = ex.make_config(Nsim=4).replace(
+        N=N, stage_cost=StageCost(f_coll=cost), ContForm=False,
+        Collocation=True)
+    model = build_model(cfg)
+    f_obj = build_stage_cost(cfg.stage_cost)
+    vfin = build_terminal_cost(cfg)
+
+    spec = build_ocp_collocation(cfg, model, f_obj, vfin)
+    dense = jax.jit(make_solver(spec.nlp, SolverOptions(max_iter=150)))
+    socp = build_structured_ocp(cfg, model, f_obj, vfin)
+    struct = jax.jit(make_structured_solver(socp, SolverOptions(max_iter=150)))
+
+    nx, nu = cfg.nx, cfg.nu
+    nxuk = 3 * nx + nu
+    x0 = np.array([0.6, 0.4])
+    xs = np.array([0.5528, 0.6219])
+    us = np.array([1.043])
+    p = dict(x0=jnp.asarray(x0), xs=jnp.asarray(xs), us=jnp.asarray(us),
+             d=jnp.zeros(cfg.nd), um1=jnp.asarray(us), t=jnp.asarray(0.0),
+             lam=jnp.zeros((cfg.ny, nu)), px=jnp.zeros((N, cfg.npx)),
+             py=jnp.zeros((N, cfg.npy)))
+    lbw = spec.lbw.copy()
+    ubw = spec.ubw.copy()
+    lbw[:nx] = ubw[:nx] = x0
+    w0 = np.zeros(spec.nw)
+    for k in range(N):
+        w0[k * nxuk : k * nxuk + nx] = x0
+        w0[k * nxuk + nx : k * nxuk + 3 * nx] = np.tile(x0, 2)
+        w0[k * nxuk + 3 * nx : (k + 1) * nxuk] = us
+    w0[N * nxuk : N * nxuk + nx] = x0
+    rd = dense(jnp.asarray(w0), p, lbw, ubw, spec.lbg, spec.ubg)
+    rs = struct(p, jnp.tile(jnp.asarray(x0), (N + 1, 1)),
+                jnp.tile(jnp.asarray(us), (N, 1)))
+    assert int(rd.status) == 0 and int(rs.status) == 0
+    wd = np.asarray(rd.w)
+    Ud = np.array([wd[k * nxuk + 3 * nx : (k + 1) * nxuk] for k in range(N)])
+    assert np.abs(Ud - np.asarray(rs.U)).max() < 1e-6
+    assert abs(float(rd.f) - float(rs.f)) < 1e-8 * max(1.0, abs(float(rd.f)))
+    # condensed states match the dense trajectory
+    Xd = np.array([wd[k * nxuk : k * nxuk + nx] for k in range(N)]
+                  + [wd[N * nxuk : N * nxuk + nx]])
+    assert np.abs(Xd - np.asarray(rs.X)).max() < 1e-6
