@@ -6,7 +6,17 @@ N=50, state/input bounds, QP tracking cost — solved by the batched
 interior-point solver, vmapped over independent scenario initial states.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
-vs_baseline = solves/s divided by the 10k/s/host driver target.
+vs_baseline = solves/s divided by the 10k/s/host driver target.  The
+headline value counts CONVERGED lanes only (solves/s = ok_lanes / wall
+time) and the JSON carries the convergence tail honestly: `ok_fraction`
+and `max_feas` (max constraint violation over converged lanes).
+
+Lanes that fail the first pass are re-solved with a "coolhold" warm start
+(rollout holding the coolant at 295 K instead of the steady input — hot
+initial states ignite under the steady-input rollout, poisoning the warm
+start); measured: rescues 187/189 failures at the f32/GN operating point,
+leaving ~2/8192 genuinely ignited corner states.  The rescue pass runs on
+a fixed-capacity padded sub-batch and its wall time is included.
 
 Run on the TPU (default platform); f32 on-chip with a practical tolerance
 (f64 is CPU-only).  Accuracy is cross-checked against the f64 CPU solution
@@ -82,56 +92,87 @@ def main():
     xmin_c = jnp.asarray(np.asarray(cfg.bounds.xmin, np.float32))
     xmax_c = jnp.asarray(np.asarray(cfg.bounds.xmax, np.float32))
 
-    def lane(x0):
-        par = dict(
-            x0=x0,
-            xs=jnp.asarray(xs), us=jnp.asarray(us),
-            d=jnp.asarray(np.array([0.0, 0.1], dtype=np.float32)),
-            um1=jnp.asarray(us), t=jnp.asarray(0.0, dtype=jnp.float32),
-            lam=jnp.zeros((ny, nu), dtype=jnp.float32),
-            px=jnp.zeros((N, cfg.npx), dtype=jnp.float32),
-            py=jnp.zeros((N, cfg.npy), dtype=jnp.float32),
-        )
+    u_cool = np.array([295.0, 0.1], dtype=np.float32)  # rescue warm start
 
-        # forward-simulated warm start clipped into the box (the constant-x0
-        # guess leaves enormous defects for ignition-unstable hot states)
-        def sim(x, _):
-            xn = jnp.clip(model.fx(x, jnp.asarray(us), cfg.h,
-                                   par["d"], 0.0, par["px"][0]), xmin_c, xmax_c)
-            xn = jnp.where(jnp.isfinite(xn), xn, x)  # freeze on overflow
-            return xn, xn
+    def make_lane(u_ws):
+        u_ws = jnp.asarray(u_ws)
 
-        _, Xtail = jax.lax.scan(sim, x0, None, length=N)
-        X0 = jnp.concatenate([x0[None], Xtail], axis=0)
-        U0 = jnp.tile(jnp.asarray(us), (N, 1))
-        return solve(par, X0, U0)
+        def lane(x0):
+            par = dict(
+                x0=x0,
+                xs=jnp.asarray(xs), us=jnp.asarray(us),
+                d=jnp.asarray(np.array([0.0, 0.1], dtype=np.float32)),
+                um1=jnp.asarray(us), t=jnp.asarray(0.0, dtype=jnp.float32),
+                lam=jnp.zeros((ny, nu), dtype=jnp.float32),
+                px=jnp.zeros((N, cfg.npx), dtype=jnp.float32),
+                py=jnp.zeros((N, cfg.npy), dtype=jnp.float32),
+            )
 
-    batched = jax.jit(jax.vmap(lane))
+            # forward-simulated warm start clipped into the box (the
+            # constant-x0 guess leaves enormous defects for ignition-
+            # unstable hot states)
+            def sim(x, _):
+                xn = jnp.clip(model.fx(x, u_ws, cfg.h,
+                                       par["d"], 0.0, par["px"][0]), xmin_c, xmax_c)
+                xn = jnp.where(jnp.isfinite(xn), xn, x)  # freeze on overflow
+                return xn, xn
 
-    xb = jnp.asarray(x0s)
+            _, Xtail = jax.lax.scan(sim, x0, None, length=N)
+            X0 = jnp.concatenate([x0[None], Xtail], axis=0)
+            U0 = jnp.tile(u_ws, (N, 1))
+            return solve(par, X0, U0)
+
+        return jax.jit(jax.vmap(lane))
+
+    batched = make_lane(us)
+    rescue = make_lane(u_cool)
+    RESCUE_CAP = int(os.environ.get("BENCH_RESCUE_CAP", "512"))
+
+    def run_pipeline(xb_np):
+        """Full two-pass solve; returns (status, iters, feas, kkt)."""
+        res = batched(jnp.asarray(xb_np))
+        status = np.array(res.status)
+        bad = np.where(status == 2)[0]
+        feas = np.array(res.feas_err)
+        iters = np.array(res.iters)
+        kkt = np.array(res.kkt_err)
+        if len(bad):
+            sel = bad[:RESCUE_CAP]
+            xr = np.zeros((RESCUE_CAP, nx), np.float32)
+            xr[: len(sel)] = xb_np[sel]
+            xr[len(sel):] = xb_np[sel[0]]
+            r2 = rescue(jnp.asarray(xr))
+            st2 = np.asarray(r2.status)[: len(sel)]
+            status[sel] = st2
+            feas[sel] = np.asarray(r2.feas_err)[: len(sel)]
+            kkt[sel] = np.asarray(r2.kkt_err)[: len(sel)]
+            iters[sel] = iters[sel] + np.asarray(r2.iters)[: len(sel)]
+        return status, iters, feas, kkt
+
     t0 = time.time()
-    res = batched(xb)
-    jax.block_until_ready(res.U)
+    run_pipeline(x0s)
+    # ensure the rescue pass is compiled even if the warmup had no failures
+    jax.block_until_ready(rescue(jnp.asarray(
+        np.tile(x0s[:1], (RESCUE_CAP, 1)))).U)
     compile_s = time.time() - t0
 
     times = []
     for r in range(REPS):
-        xb_r = jnp.asarray(x0s + np.float32(1e-4 * (r + 1)))
+        xb_r = x0s + np.float32(1e-4 * (r + 1))
         t0 = time.time()
-        res = batched(xb_r)
-        jax.block_until_ready(res.U)
+        status, iters, feas, kkt = run_pipeline(xb_r)
         times.append(time.time() - t0)
     best = min(times)
-    solves_per_s = B / best
 
-    status = np.asarray(res.status)
-    iters = np.asarray(res.iters)
-    feas = np.asarray(res.feas_err)
-    kkt = np.asarray(res.kkt_err)
+    ok = status != 2
+    n_ok = int(ok.sum())
+    solves_per_s = n_ok / best
+    max_feas_ok = float(feas[ok].max()) if n_ok else float("inf")
     print(
         f"# compile={compile_s:.1f}s best={best*1000:.1f}ms/batch batch={B} "
-        f"ok={int((status != 2).sum())}/{B} med_iters={np.median(iters):.0f} "
-        f"max_feas={feas.max():.2e} kkt p10/50/90={np.percentile(kkt,10):.1e}/"
+        f"ok={n_ok}/{B} med_iters={np.median(iters):.0f} "
+        f"max_feas(ok)={max_feas_ok:.2e} max_feas(all)={feas.max():.2e} "
+        f"kkt p10/50/90={np.percentile(kkt,10):.1e}/"
         f"{np.percentile(kkt,50):.1e}/{np.percentile(kkt,90):.1e} "
         f"platform={jax.devices()[0].platform}",
         file=sys.stderr,
@@ -141,6 +182,8 @@ def main():
         "value": round(float(solves_per_s), 2),
         "unit": "solves/s/chip",
         "vs_baseline": round(float(solves_per_s) / 10000.0, 4),
+        "ok_fraction": round(n_ok / B, 5),
+        "max_feas": max_feas_ok,
     }))
 
 
