@@ -184,6 +184,9 @@ class MHERuntime:
             Hbig=jnp.asarray(self.Hbig),
             Obig=jnp.asarray(self.Obig),
         )
+        # keep the latest NLP inputs for independent solver-parity tests
+        self.last_nlp = dict(w0=w_guess.copy(), N=N,
+                             par={k: np.asarray(v) for k, v in par.items()})
         res = solve(jnp.asarray(w_guess), par, spec.lbw, spec.ubw, spec.lbg, spec.ubg)
         w_opt = np.asarray(res.w)
 

@@ -64,6 +64,8 @@ class ClosedLoop:
 
             cfg = apply_ss_jac_id(cfg)
         self.cfg = cfg
+        # first-step NLP inputs captured during run() for parity tests
+        self.first_nlps: dict = {}
         self.model = build_model(cfg)
         self.plant = build_plant(cfg, self.model)
         self.aug = build_augmented(cfg, self.model)
@@ -261,6 +263,13 @@ class ClosedLoop:
                 wss_guess[nxu:] = np.asarray(self._fy_model(
                     np.asarray(cfg.x0_m, float).reshape(-1),
                     np.asarray(cfg.u0, float).reshape(-1), dhat_k, t_k, p_y_k))
+                if "target" not in self.first_nlps:
+                    # first successfully-solved NLP inputs, kept for
+                    # independent solver-parity tests (SURVEY.md §4 item 3);
+                    # dropped below if this step's solve fails
+                    self.first_nlps["target"] = dict(
+                        ksim=ksim, w0=wss_guess.copy(),
+                        par={k: np.asarray(v) for k, v in par_ss.items()})
                 t0 = time.time()
                 res_ss = self.target_solve(jnp.asarray(wss_guess), par_ss,
                                            self.target_spec.lbw, self.target_spec.ubw,
@@ -268,6 +277,9 @@ class ClosedLoop:
                 status_ss = int(res_ss.status)
                 H["TIME_SS"].append(time.time() - t0)
                 H["STATUS_SS"].append(status_ss)
+                if (status_ss == STATUS_INFEASIBLE
+                        and self.first_nlps.get("target", {}).get("ksim") == ksim):
+                    del self.first_nlps["target"]
                 if status_ss != STATUS_INFEASIBLE:         # MPC_code.py:714-718
                     wss_opt = np.asarray(res_ss.w)
                     xs_k = wss_opt[:nx]
@@ -309,6 +321,11 @@ class ClosedLoop:
                            um1=jnp.asarray(u_k), t=jnp.asarray(t_k, dtype=float),
                            lam=jnp.asarray(lam_k), px=jnp.asarray(px_h),
                            py=jnp.asarray(py_h))
+                if "ocp" not in self.first_nlps:
+                    self.first_nlps["ocp"] = dict(
+                        ksim=ksim, w0=np.asarray(w_guess).copy(),
+                        lbw=lbw.copy(), ubw=ubw.copy(),
+                        par={k: np.asarray(v) for k, v in par.items()})
                 t0 = time.time()
                 res = self.ocp_solve(jnp.asarray(w_guess), par, lbw, ubw,
                                      self.ocp_spec.lbg, self.ocp_spec.ubg)
@@ -316,6 +333,9 @@ class ClosedLoop:
                 H["TIME_DYN"].append(time.time() - t0)
                 H["STATUS_DYN"].append(status_dyn)
                 ocp_feasible = status_dyn != STATUS_INFEASIBLE
+                if (not ocp_feasible
+                        and self.first_nlps.get("ocp", {}).get("ksim") == ksim):
+                    del self.first_nlps["ocp"]
                 if ocp_feasible:                           # MPC_code.py:786-800
                     w_opt = np.asarray(res.w)
                     u_k = w_opt[st - nu : st]
