@@ -19,3 +19,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite's wall time is dominated by XLA
+# compiles of the same solver/loop graphs run after run; cache them on disk
+# so repeat runs (CI, local iteration) skip recompilation.
+_cache_dir = os.environ.get("MPC_TPU_TEST_CACHE", "/tmp/mpc_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
