@@ -15,7 +15,7 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                                 "tools"))
-from record_fixtures import CASES, KEYS, run_case  # noqa: E402
+from record_fixtures import CASES, FULL_CASES, KEYS, run_case  # noqa: E402
 
 from mpc_code_tpu.utils.io import load_history  # noqa: E402
 
@@ -35,3 +35,21 @@ def test_example_matches_fixture(name, Nsim, N):
             continue
         dev = np.abs(np.asarray(H[key]) - ref[key]).max()
         assert dev <= 1e-4, f"{name}: {key} deviates by {dev:.2e}"
+
+
+@pytest.mark.skipif(os.environ.get("MPC_TPU_SLOW") != "1",
+                    reason="full-size run takes minutes; set MPC_TPU_SLOW=1")
+@pytest.mark.parametrize("name,Nsim,N,out", FULL_CASES, ids=[c[3] for c in FULL_CASES])
+def test_full_size_matches_fixture(name, Nsim, N, out):
+    # the reference's own dimensions (Ex_NMPC.py Nsim=201/N=50) — pins the
+    # regime where ignition/stiffness actually bites
+    path = os.path.join(FIXTURE_DIR, f"{out}.npz")
+    if not os.path.exists(path):
+        pytest.skip("fixture not recorded")
+    ref, meta = load_history(path)
+    H = run_case(name, Nsim, N)
+    for key in ("U", "Yp", "D_HAT"):
+        if key not in ref or key not in H or not len(ref[key]):
+            continue
+        dev = np.abs(np.asarray(H[key]) - ref[key]).max()
+        assert dev <= 1e-4, f"{out}: {key} deviates by {dev:.2e}"

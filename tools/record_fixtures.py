@@ -35,6 +35,13 @@ CASES = [
     ("enmpc", 8, 8),
 ]
 
+# full-size flagship run at the reference's own dimensions
+# (Ex_NMPC.py: Nsim=201, N=50) — regression-pinned behind MPC_TPU_SLOW=1
+# (tests/test_fixtures.py) because the run takes minutes on CPU f64
+FULL_CASES = [
+    ("nmpc", 201, 50, "nmpc_full"),
+]
+
 KEYS = ["Xp", "Yp", "U", "XS", "US", "YS", "X_HAT", "D_HAT"]
 
 
@@ -55,6 +62,10 @@ def main():
         print(f"recording {name} (Nsim={Nsim}, N={N})...")
         H = run_case(name, Nsim, N)
         save_history(os.path.join(out_dir, f"{name}.npz"), H, Nsim=Nsim, N=N)
+    for name, Nsim, N, out in FULL_CASES:
+        print(f"recording {out} ({name}, Nsim={Nsim}, N={N})...")
+        H = run_case(name, Nsim, N)
+        save_history(os.path.join(out_dir, f"{out}.npz"), H, Nsim=Nsim, N=N)
     print("done")
 
 
