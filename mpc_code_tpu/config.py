@@ -400,6 +400,12 @@ class MPCConfig:
     sol_opts_dyn: SolverOptions = field(default_factory=SolverOptions)
     sol_opts_mhe: SolverOptions = field(default_factory=lambda: SolverOptions(tol=1e-10))
 
+    # check-numerics mode (SURVEY.md §5): raise on the first NaN produced
+    # INSIDE jitted computations (jax_debug_nans) and verify every history
+    # array each step, instead of the reference's two spot checks
+    # (MPC_code.py:671, 819).  Also enabled by MPC_TPU_CHECK_NUMERICS=1.
+    check_numerics: bool = False
+
     def __post_init__(self):
         self.derive()
 

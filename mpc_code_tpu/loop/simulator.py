@@ -26,6 +26,7 @@ History is returned as a dict of stacked numpy arrays.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Dict, Optional
 
@@ -66,6 +67,13 @@ class ClosedLoop:
         self.cfg = cfg
         # first-step NLP inputs captured during run() for parity tests
         self.first_nlps: dict = {}
+        self.check_numerics = bool(
+            cfg.check_numerics
+            or os.environ.get("MPC_TPU_CHECK_NUMERICS") == "1")
+        if self.check_numerics:
+            # raise at the first NaN inside jitted computations (re-runs the
+            # offending op un-jitted for a precise traceback)
+            jax.config.update("jax_debug_nans", True)
         self.model = build_model(cfg)
         self.plant = build_plant(cfg, self.model)
         self.aug = build_augmented(cfg, self.model)
@@ -391,6 +399,15 @@ class ClosedLoop:
                 w2 = np.asarray(res_p2.w)
                 H["Upopt"].append(w2[cfg.nxp : cfg.nxp + nu].copy())
                 H["Ypopt"].append(w2[cfg.nxp + nu :].copy())
+
+            if self.check_numerics:
+                # verify every history array written this step (check-
+                # numerics mode — SURVEY.md §5); the reference only spot-
+                # checks xhat/x (MPC_code.py:671, 819)
+                for key, vals in H.items():
+                    if vals and not np.all(np.isfinite(np.asarray(vals[-1]))):
+                        raise FloatingPointError(
+                            f"check_numerics: non-finite {key} at step {ksim}")
 
         # end-of-run loop state, for handing the simulation off to the
         # traced batched step (e.g. MHE warmup host-side, steady state on

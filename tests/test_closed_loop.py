@@ -69,3 +69,33 @@ def test_wb_offset_free_tracking_small():
     err_end = np.abs(H["Yp"][-1] - np.array([1.0, -1.0])).max()
     assert err_end < err_mid
     assert err_end < 0.05
+
+
+def test_check_numerics_mode():
+    # check-numerics config flag (SURVEY.md §5): clean run passes with
+    # jax_debug_nans armed; a non-finite history entry raises
+    import jax
+
+    from mpc_code_tpu.examples.lmpc_wb import make_config
+
+    cfg = make_config(Nsim=3).replace(check_numerics=True)
+    try:
+        loop = ClosedLoop(cfg)
+        assert loop.check_numerics
+        H = loop.run()
+        assert np.isfinite(H["U"]).all()
+    finally:
+        jax.config.update("jax_debug_nans", False)
+
+    # poisoned schedule: def_px returning NaN must surface as an error, not
+    # silently propagate through the loop
+    import pytest as _pytest
+
+    bad = make_config(Nsim=3).replace(
+        check_numerics=True,
+        def_px=lambda t: np.full(4, np.nan))
+    try:
+        with _pytest.raises(Exception):
+            ClosedLoop(bad).run()
+    finally:
+        jax.config.update("jax_debug_nans", False)
