@@ -292,7 +292,12 @@ class SolverOptions:
     # centrality rule, the analog of IPOPT's mu_strategy=adaptive): mu is
     # set each iteration from the average complementarity and a centrality
     # measure instead of a monotone ladder — fewer iterations on warm-started
-    # QP-like problems. Structured (Riccati) solver only.
+    # QP-like problems. 'mehrotra' runs a predictor-corrector step (affine
+    # probe sets sigma=(mu_aff/mu)^3, corrector injects the second-order
+    # complementarity terms; IPOPT's mu_oracle=quality-function spirit,
+    # Mehrotra 1992): two Riccati solves per iteration sharing one
+    # derivative sweep, typically ~2x fewer iterations at loose tolerances.
+    # Structured (Riccati) solver only.
     mu_strategy: str = "monotone"
 
     @classmethod

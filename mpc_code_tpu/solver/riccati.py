@@ -647,12 +647,13 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
     X0 (N+1, nxa), U0 (N, nu) warm starts; X0[0] is overwritten by the
     pinned initial state from p.
     """
-    if opts.mu_strategy not in ("monotone", "adaptive"):
+    if opts.mu_strategy not in ("monotone", "adaptive", "mehrotra"):
         raise ValueError(f"unknown mu_strategy {opts.mu_strategy!r}: "
-                         "use 'monotone' or 'adaptive'")
+                         "use 'monotone', 'adaptive' or 'mehrotra'")
     if opts.hessian not in ("exact", "gauss_newton"):
         raise ValueError(f"unknown hessian {opts.hessian!r}: "
                          "use 'exact' or 'gauss_newton'")
+    mehrotra = opts.mu_strategy == "mehrotra"
     N, nxa, nu, ni = s.N, s.nxa, s.nu, s.ni
     nz = nxa + nu
     n_tc = s.n_tc
@@ -886,49 +887,41 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 mu_ad = jnp.clip(sigma * avg_c, opts.tol / 10.0, 1e4)
                 mu = jnp.where(m_cnt > 0, mu_ad, mu)
 
-            # barrier sigma/gradients for X (stages 1..N), U, S
-            def sig(z, zl, zu, lb, ub, hl, hu):
-                sl = _mdiv(zl, z - lb, hl)
-                su = _mdiv(zu, ub - z, hu)
-                bg = _mdiv(mu * jnp.ones_like(z), z - lb, hl) - _mdiv(
-                    mu * jnp.ones_like(z), ub - z, hu)
-                return sl + su, bg
+            # barrier sigma (mu-independent) for X (stages 1..N), U, S; the
+            # barrier gradient bg is built per-direction from COMPONENTWISE
+            # complementarity targets (numerators), so the Mehrotra corrector
+            # can inject its mu - dprim*dz second-order terms
+            def sig_of(z, zl, zu, lb, ub, hl, hu):
+                return _mdiv(zl, z - lb, hl) + _mdiv(zu, ub - z, hu)
 
-            sigX, bgX = sig(X, st.zlx, st.zux, lbx, ubx, hlx, hux)   # (N+1, nxa)
-            sigX = sigX.at[0].set(0.0)
-            bgX = bgX.at[0].set(0.0)
-            sigU, bgU = sig(U, st.zlu, st.zuu, lbu, ubu, hlu, huu)
+            def bg_of(z, lb, ub, hl, hu, tl, tu):
+                one = jnp.ones_like(z)
+                return _mdiv(tl * one, z - lb, hl) - _mdiv(tu * one, ub - z, hu)
+
+            sigX = sig_of(X, st.zlx, st.zux, lbx, ubx, hlx, hux).at[0].set(0.0)
+            sigU = sig_of(U, st.zlu, st.zuu, lbu, ubu, hlu, huu)
             if ni:
-                sigS, bgS = sig(S, st.zls, st.zus, lbi, ubi, hli, hui)
-                sigS = jnp.maximum(sigS, 1e-12)
+                sigS = jnp.maximum(
+                    sig_of(S, st.zls, st.zus, lbi, ubi, hli, hui), 1e-12)
             else:
                 sigS = jnp.zeros((N, 0), dtype=dtype)
-                bgS = sigS
 
-            # slack/inequality elimination:
-            #   ds = E dz + r_i ;  dnu = sigS*(E dz + r_i) - (bgS + nus)... sign:
+            # slack/inequality elimination (mu-independent Hessian part):
+            #   ds = E dz + r_i ;  dnu = sigS*(E dz + r_i) - (bgS + nus)
             # stationarity of S: -nu - zls + zus = 0 -> rhs_s = nus + bgS
-            # dnu = sigS * ds - (nus + bgS) + ... (primal-dual elimination)
             if ni:
                 Hs = H + jnp.einsum("kia,ki,kib->kab", E, sigS, E)
-                # E' (Sigma_s r_i - bg_s): inequality elimination gradient
-                g_extra = jnp.einsum("kia,ki->ka", E, sigS * r_i - bgS)
             else:
                 Hs = H
-                g_extra = jnp.zeros((N, nz), dtype=dtype)
-
-            # assemble stage gradient q_k = dcost - bgrad + E-term
-            q = gc + g_extra
-            q = q.at[:, :nxa].add(-bgX[:N])
-            q = q.at[:, nxa:].add(-bgU)
             # stage Hessian with bound sigmas
             Hs = Hs.at[:, :nxa, :nxa].add(jax.vmap(jnp.diag)(sigX[:N]))
             Hs = Hs.at[:, nxa:, nxa:].add(jax.vmap(jnp.diag)(sigU))
 
-            # terminal block
-            PN_h = jax.hessian(lambda xx: _cost_N(xx, p))(X[N])
-            pN_g = jax.grad(lambda xx: _cost_N(xx, p))(X[N]) - bgX[N]
-            PN_h = PN_h + jnp.diag(sigX[N])
+            # terminal block (cost part; the barrier gradient joins per
+            # direction)
+            PN_h = (jax.hessian(lambda xx: _cost_N(xx, p))(X[N])
+                    + jnp.diag(sigX[N]))
+            pN_cost = jax.grad(lambda xx: _cost_N(xx, p))(X[N])
 
             # --- Riccati backward pass at the carried regularization; a
             # failed factorization skips this iteration and bumps delta
@@ -941,7 +934,7 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             Hs = Hs + st.delta * jnp.eye(nz, dtype=dtype)
             PN_h = PN_h + st.delta * jnp.eye(nxa, dtype=dtype)
 
-            def backward_par(delta):
+            def backward_par(delta, q, pN_g):
                 """Associative-scan Riccati: O(log N) depth of (N, nxa, nxa)
                 batched ops instead of an N-step sequential chain — the
                 TPU-native formulation (parallel LQT value-function elements
@@ -1029,54 +1022,181 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 kf = -cho(Lf, qu_f[..., None])[..., 0]
                 return ok, Ks, kf, P_nxt, p_nxt
 
-            if termcons:
-                # constrained Riccati with terminal multiplier (no Pallas
-                # kernel for this rare configuration — plain vmapped scan)
-                solvable, Ks, kf, P_seq, p_seq, F_seq, xi_new, dX, dU = \
-                    _riccati_tc(Hs, q, A, B, r_d, PN_h, pN_g, r_T,
-                                nxa=nxa, nu=nu, n_tc=n_tc)
-                xi_new = jnp.where(solvable, xi_new, st.xi)
-            elif parallel:
-                solvable, Ks, kf, P_seq, p_seq = backward_par(st.delta)
+            def compute_direction(bgX_, bgU_, bgS_):
+                """One KKT solve for a given barrier-gradient RHS.
+
+                Reuses the mu-independent Hs/PN_h/sigma factors above; only
+                the gradient q/pN_g changes between the Mehrotra predictor
+                and corrector, or across mu strategies.
+                """
+                if ni:
+                    # E' (Sigma_s r_i - bg_s): inequality elimination gradient
+                    g_extra = jnp.einsum("kia,ki->ka", E, sigS * r_i - bgS_)
+                else:
+                    g_extra = jnp.zeros((N, nz), dtype=dtype)
+                q = gc + g_extra
+                q = q.at[:, :nxa].add(-bgX_[:N])
+                q = q.at[:, nxa:].add(-bgU_)
+                pN_g = pN_cost - bgX_[N]
+
+                if termcons:
+                    # constrained Riccati with terminal multiplier (no Pallas
+                    # kernel for this rare configuration — plain vmapped scan)
+                    solvable, Ks, kf, P_seq, p_seq, F_seq, xi_new, dX, dU = \
+                        _riccati_tc(Hs, q, A, B, r_d, PN_h, pN_g, r_T,
+                                    nxa=nxa, nu=nu, n_tc=n_tc)
+                    xi_new = jnp.where(solvable, xi_new, st.xi)
+                elif parallel:
+                    solvable, Ks, kf, P_seq, p_seq = backward_par(st.delta, q, pN_g)
+                else:
+                    # delta already applied to Hs/PN above; the fused kernel's
+                    # own Quu shift stays zero
+                    solvable, Ks, kf, P_seq, p_seq, dX, dU = kkt_fused(
+                        Hs, q, A, B, r_d, PN_h, pN_g, jnp.zeros((), dtype=dtype))
+
+                if parallel:
+                    # forward rollout as an associative scan of affine maps
+                    M_aff = A + B @ Ks
+                    v_aff = r_d + jnp.einsum("kab,kb->ka", B, kf)
+
+                    def acomp(a, bl):
+                        Ma, va = a
+                        Mb, vb = bl
+                        return (Mb @ Ma, jnp.einsum("...ab,...b->...a", Mb, va) + vb)
+
+                    Mc, vc = lax.associative_scan(acomp, (M_aff, v_aff))
+                    dX = jnp.concatenate([jnp.zeros((1, nxa), dtype=dtype), vc],
+                                         axis=0)
+                    dU = kf + jnp.einsum("kab,kb->ka", Ks, dX[:N])
+                if not termcons:
+                    xi_new = st.xi
+                dX = jnp.nan_to_num(dX, nan=0.0, posinf=0.0, neginf=0.0)
+                dU = jnp.nan_to_num(dU, nan=0.0, posinf=0.0, neginf=0.0)
+
+                if ni:
+                    dS = jnp.einsum("kia,ka->ki", E,
+                                    jnp.concatenate([dX[:N], dU], axis=1)) + r_i
+                    # eliminated inequality multipliers (primal-dual):
+                    dnu = sigS * dS - (st.nus + bgS_)
+                    dnu = jnp.nan_to_num(dnu, nan=0.0, posinf=0.0, neginf=0.0)
+                else:
+                    dS = jnp.zeros((N, 0), dtype=dtype)
+                    dnu = dS
+
+                # defect multipliers from the value-function sequence:
+                # lam_k = P_{k+1} dx_{k+1} + p_{k+1} (+ F_{k+1}' xi)
+                lam_new = jnp.einsum("kab,kb->ka", P_seq, dX[1:]) + p_seq
+                if termcons:
+                    lam_new = lam_new + jnp.einsum("kia,i->ka", F_seq, xi_new)
+                lam_new = jnp.nan_to_num(lam_new, nan=0.0, posinf=0.0, neginf=0.0)
+                lam_new = jnp.where(solvable, lam_new, st.lam)
+                return (solvable, dX, dU, dS, dnu, lam_new, xi_new,
+                        q, g_extra, pN_g)
+
+            # per-component dual steps for complementarity targets tl/tu
+            def dz_of(z, dz, zl, zu, lb, ub, hl, hu, tl, tu):
+                one = jnp.ones_like(z)
+                dzl = jnp.where(hl, -zl + _mdiv(tl * one - zl * dz, z - lb, hl), 0.0)
+                dzu = jnp.where(hu, -zu + _mdiv(tu * one + zu * dz, ub - z, hu), 0.0)
+                return dzl, dzu
+
+            if mehrotra:
+                # --- Mehrotra predictor-corrector ---
+                # affine predictor: pure primal-dual Newton (zero
+                # complementarity target)
+                zero = jnp.zeros((), dtype=dtype)
+                (slv_a, dXa, dUa, dSa, _, _, _, _, _, _) = compute_direction(
+                    jnp.zeros_like(X), jnp.zeros_like(U), jnp.zeros_like(S))
+                dzlx_a, dzux_a = dz_of(X, dXa, st.zlx, st.zux, lbx, ubx,
+                                       hlx, hux, zero, zero)
+                dzlx_a = dzlx_a.at[0].set(0.0)
+                dzux_a = dzux_a.at[0].set(0.0)
+                dzlu_a, dzuu_a = dz_of(U, dUa, st.zlu, st.zuu, lbu, ubu,
+                                       hlu, huu, zero, zero)
+                dzls_a, dzus_a = dz_of(S, dSa, st.zls, st.zus, lbi, ubi,
+                                       hli, hui, zero, zero)
+
+                # probe step lengths to the boundary (tau=1)
+                def ftb1(z, dz, lb, ub, hl, hu):
+                    al = jnp.where(hl & (dz < 0),
+                                   -(z - lb) / jnp.where(dz < 0, dz, -1.0), jnp.inf)
+                    au = jnp.where(hu & (dz > 0),
+                                   (ub - z) / jnp.where(dz > 0, dz, 1.0), jnp.inf)
+                    return jnp.minimum(jnp.min(al, initial=jnp.inf),
+                                       jnp.min(au, initial=jnp.inf))
+
+                def ftb1_dual(zl, dzl):
+                    return jnp.min(jnp.where(
+                        dzl < 0, -zl / jnp.where(dzl < 0, dzl, -1.0), jnp.inf),
+                        initial=jnp.inf)
+
+                a_p = jnp.minimum(1.0, jnp.minimum(
+                    ftb1(X[1:], dXa[1:], lbx, ubx, hlx, hux),
+                    jnp.minimum(ftb1(U, dUa, lbu, ubu, hlu, huu),
+                                ftb1(S, dSa, lbi, ubi, hli, hui)
+                                if ni else jnp.inf)))
+                a_d = jnp.minimum(1.0, jnp.minimum(
+                    jnp.minimum(ftb1_dual(st.zlx, dzlx_a),
+                                ftb1_dual(st.zux, dzux_a)),
+                    jnp.minimum(
+                        jnp.minimum(ftb1_dual(st.zlu, dzlu_a),
+                                    ftb1_dual(st.zuu, dzuu_a)),
+                        jnp.minimum(ftb1_dual(st.zls, dzls_a),
+                                    ftb1_dual(st.zus, dzus_a)))))
+
+                # average complementarity now and at the affine probe point
+                def comp_sums(ap, ad):
+                    def fam(z, dz, zl, zu, dzl, dzu, lb, ub, hl, hu):
+                        gl = jnp.where(hl, (z + ap * dz) - lb, 0.0)
+                        gu = jnp.where(hu, ub - (z + ap * dz), 0.0)
+                        s = (jnp.sum(gl * (zl + ad * dzl))
+                             + jnp.sum(gu * (zu + ad * dzu)))
+                        cnt = jnp.sum(hl) + jnp.sum(hu)
+                        return s, cnt
+
+                    s1, c1 = fam(X[1:], dXa[1:], st.zlx[1:], st.zux[1:],
+                                 dzlx_a[1:], dzux_a[1:], lbx, ubx, hlx, hux)
+                    s2, c2 = fam(U, dUa, st.zlu, st.zuu, dzlu_a, dzuu_a,
+                                 lbu, ubu, hlu, huu)
+                    if ni:
+                        s3, c3 = fam(S, dSa, st.zls, st.zus, dzls_a, dzus_a,
+                                     lbi, ubi, hli, hui)
+                    else:
+                        s3, c3 = zero, 0
+                    return (s1 + s2 + s3), (c1 + c2 + c3)
+
+                c_sum, c_cnt = comp_sums(0.0, 0.0)
+                mu_avg = c_sum / jnp.maximum(c_cnt, 1)
+                c_aff, _ = comp_sums(a_p, a_d)
+                mu_aff = c_aff / jnp.maximum(c_cnt, 1)
+                sigma_m = jnp.clip(
+                    (mu_aff / jnp.maximum(mu_avg, tiny)) ** 3, 0.0, 1.0)
+                mu = jnp.clip(sigma_m * mu_avg, opts.tol / 10.0, 1e4)
+
+                # corrector: componentwise targets mu - dprim*dz_aff
+                # (lower) / mu + dprim*dz_aff (upper)
+                tlx = mu - dXa * dzlx_a
+                tux = mu + dXa * dzux_a
+                tlu = mu - dUa * dzlu_a
+                tuu = mu + dUa * dzuu_a
+                tls = mu - dSa * dzls_a
+                tus = mu + dSa * dzus_a
+                bgX_c = bg_of(X, lbx, ubx, hlx, hux, tlx, tux).at[0].set(0.0)
+                bgU_c = bg_of(U, lbu, ubu, hlu, huu, tlu, tuu)
+                bgS_c = (bg_of(S, lbi, ubi, hli, hui, tls, tus)
+                         if ni else jnp.zeros((N, 0), dtype=dtype))
             else:
-                # delta already applied to Hs/PN above; the fused kernel's
-                # own Quu shift stays zero
-                solvable, Ks, kf, P_seq, p_seq, dX, dU = kkt_fused(
-                    Hs, q, A, B, r_d, PN_h, pN_g, jnp.zeros((), dtype=dtype))
+                tlx = tux = mu
+                tlu = tuu = mu
+                tls = tus = mu
+                bgX_c = bg_of(X, lbx, ubx, hlx, hux, mu, mu).at[0].set(0.0)
+                bgU_c = bg_of(U, lbu, ubu, hlu, huu, mu, mu)
+                bgS_c = (bg_of(S, lbi, ubi, hli, hui, mu, mu)
+                         if ni else jnp.zeros((N, 0), dtype=dtype))
 
-            if parallel:
-                # forward rollout as an associative scan of affine maps
-                M_aff = A + B @ Ks
-                v_aff = r_d + jnp.einsum("kab,kb->ka", B, kf)
-
-                def acomp(a, bl):
-                    Ma, va = a
-                    Mb, vb = bl
-                    return (Mb @ Ma, jnp.einsum("...ab,...b->...a", Mb, va) + vb)
-
-                Mc, vc = lax.associative_scan(acomp, (M_aff, v_aff))
-                dX = jnp.concatenate([jnp.zeros((1, nxa), dtype=dtype), vc], axis=0)
-                dU = kf + jnp.einsum("kab,kb->ka", Ks, dX[:N])
-            dX = jnp.nan_to_num(dX, nan=0.0, posinf=0.0, neginf=0.0)
-            dU = jnp.nan_to_num(dU, nan=0.0, posinf=0.0, neginf=0.0)
-
-            if ni:
-                dS = jnp.einsum("kia,ka->ki", E,
-                                jnp.concatenate([dX[:N], dU], axis=1)) + r_i
-                # eliminated inequality multipliers (primal-dual):
-                dnu = sigS * dS - (st.nus + bgS)
-                dnu = jnp.nan_to_num(dnu, nan=0.0, posinf=0.0, neginf=0.0)
-            else:
-                dS = jnp.zeros((N, 0), dtype=dtype)
-                dnu = dS
-
-            # defect multipliers from the value-function sequence:
-            # lam_k = P_{k+1} dx_{k+1} + p_{k+1} (+ F_{k+1}' xi)
-            lam_new = jnp.einsum("kab,kb->ka", P_seq, dX[1:]) + p_seq
-            if termcons:
-                lam_new = lam_new + jnp.einsum("kia,i->ka", F_seq, xi_new)
-            lam_new = jnp.nan_to_num(lam_new, nan=0.0, posinf=0.0, neginf=0.0)
-            lam_new = jnp.where(solvable, lam_new, st.lam)
+            (solvable, dX, dU, dS, dnu, lam_new, xi_new,
+             q, g_extra, pN_g) = compute_direction(bgX_c, bgU_c, bgS_c)
+            bgS = bgS_c    # line-search directional derivative uses bgS
 
             dlam = lam_new - st.lam
             dxi = (xi_new - st.xi) if termcons else st.xi
@@ -1094,17 +1214,15 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             a3 = ftb(S, dS, lbi, ubi, hli, hui) if ni else jnp.inf
             alpha_max = jnp.minimum(1.0, jnp.minimum(a1, jnp.minimum(a2, a3)))
 
-            # dual steps
-            def dz_duals(z, dz, zl, zu, lb, ub, hl, hu):
-                dzl = jnp.where(hl, -zl + _mdiv(mu - zl * dz, z - lb, hl), 0.0)
-                dzu = jnp.where(hu, -zu + _mdiv(mu + zu * dz, ub - z, hu), 0.0)
-                return dzl, dzu
-
-            dzlx, dzux = dz_duals(X, dX, st.zlx, st.zux, lbx, ubx, hlx, hux)
+            # dual steps toward the (componentwise) complementarity targets
+            dzlx, dzux = dz_of(X, dX, st.zlx, st.zux, lbx, ubx, hlx, hux,
+                               tlx, tux)
             dzlx = dzlx.at[0].set(0.0)
             dzux = dzux.at[0].set(0.0)
-            dzlu, dzuu = dz_duals(U, dU, st.zlu, st.zuu, lbu, ubu, hlu, huu)
-            dzls, dzus = dz_duals(S, dS, st.zls, st.zus, lbi, ubi, hli, hui)
+            dzlu, dzuu = dz_of(U, dU, st.zlu, st.zuu, lbu, ubu, hlu, huu,
+                               tlu, tuu)
+            dzls, dzus = dz_of(S, dS, st.zls, st.zus, lbi, ubi, hli, hui,
+                               tls, tus)
 
             def ftb_dual(zl, dzl):
                 return jnp.where(dzl < 0, -tau * zl / jnp.where(dzl < 0, dzl, -1.0), jnp.inf)

@@ -385,3 +385,27 @@ def test_structured_collocation_matches_dense():
     Xd = np.array([wd[k * nxuk : k * nxuk + nx] for k in range(N)]
                   + [wd[N * nxuk : N * nxuk + nx]])
     assert np.abs(Xd - np.asarray(rs.X)).max() < 1e-6
+
+
+def test_mehrotra_matches_monotone():
+    # Mehrotra predictor-corrector reaches the same KKT point in fewer
+    # iterations (15 -> 10 on the bench CSTR at tol=1e-8)
+    N = 30
+    cfg, model, f_obj, vfin = _setup(N)
+    socp = build_structured_ocp(cfg, model, f_obj, vfin)
+    x0 = np.array([0.6, 330.0, 0.60])
+    us = np.array([300.157, 0.1])
+    par, _ = _par(cfg, N, x0)
+    X0 = jnp.tile(jnp.asarray(x0), (N + 1, 1))
+    U0 = jnp.tile(jnp.asarray(us), (N, 1))
+
+    r_mono = jax.jit(make_structured_solver(
+        socp, SolverOptions(max_iter=100, tol=1e-8)))(par, X0, U0)
+    r_meh = jax.jit(make_structured_solver(
+        socp, SolverOptions(max_iter=100, tol=1e-8,
+                            mu_strategy="mehrotra")))(par, X0, U0)
+    assert int(r_mono.status) == 0 and int(r_meh.status) == 0
+    assert int(r_meh.iters) <= int(r_mono.iters)
+    assert np.abs(np.asarray(r_meh.U) - np.asarray(r_mono.U)).max() < 1e-5
+    assert abs(float(r_meh.f) - float(r_mono.f)) < 1e-8 * max(
+        1.0, abs(float(r_mono.f)))
