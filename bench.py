@@ -149,7 +149,14 @@ def main():
     RESCUE_CAP = int(os.environ.get("BENCH_RESCUE_CAP", "512"))
 
     def run_sub(fn, xb_np, sel, status, iters, feas, kkt):
-        xr = np.zeros((RESCUE_CAP, nx), np.float32)
+        # pad to the smallest power-of-two bucket that fits (jit caches one
+        # executable per shape; buckets keep the rescue batch proportional
+        # to the actual failure count instead of always paying RESCUE_CAP)
+        cap = 64
+        while cap < len(sel):
+            cap *= 2
+        cap = min(cap, RESCUE_CAP)
+        xr = np.zeros((cap, nx), np.float32)
         xr[: len(sel)] = xb_np[sel]
         xr[len(sel):] = xb_np[sel[0] if len(sel) else 0]
         r2 = fn(jnp.asarray(xr))
