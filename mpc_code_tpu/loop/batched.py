@@ -464,6 +464,79 @@ def run_traced(cfg: MPCConfig, carry0: Optional[MPCCarry] = None,
     return carry, history_from_outputs(outs)
 
 
+def run_traced_checkpointed(cfg: MPCConfig, path: str, segment: int = 100,
+                            carry0: Optional[MPCCarry] = None,
+                            Nsim: Optional[int] = None, t0: float = 0.0,
+                            use_structured: Optional[bool] = None,
+                            resume: bool = True):
+    """``run_traced`` split into fixed-size scan segments with an NPZ
+    checkpoint written after each (SURVEY.md §5 checkpoint/resume for long
+    batched sweeps).
+
+    ``path`` is rewritten atomically after every ``segment`` steps with the
+    flattened carry, the accumulated history, and the resume index; if the
+    file already exists (and ``resume``), the run continues from it — a
+    killed sweep loses at most one segment.  The jitted segment executable
+    is compiled once (fixed ``segment`` length) and reused.
+    """
+    import os
+    import tempfile
+
+    Nsim = cfg.Nsim if Nsim is None else Nsim
+    if carry0 is None:
+        carry0 = init_carry(cfg)
+    template = carry0
+    leaves0, treedef = jax.tree_util.tree_flatten(template)
+
+    k_done = 0
+    hist_acc: Dict[str, list] = {}
+    carry = carry0
+    if resume and os.path.exists(path):
+        with np.load(path, allow_pickle=False) as z:
+            k_done = int(z["__k_done__"])
+            t0 = float(z["__t_next__"])
+            n_leaves = int(z["__n_leaves__"])
+            leaves = [jnp.asarray(z[f"__carry_{i}__"]) for i in range(n_leaves)]
+            carry = jax.tree_util.tree_unflatten(treedef, leaves)
+            for key in z.files:
+                if not key.startswith("__"):
+                    hist_acc[key] = [z[key]]
+
+    step = make_mpc_step(cfg, use_structured=use_structured)
+    seg_runner = jax.jit(lambda c, i: jax.lax.scan(step, c, i))
+
+    def save(carry, k_next, t_next):
+        leaves, _ = jax.tree_util.tree_flatten(carry)
+        payload = {f"__carry_{i}__": np.asarray(v) for i, v in enumerate(leaves)}
+        payload["__n_leaves__"] = np.asarray(len(leaves))
+        payload["__k_done__"] = np.asarray(k_next)
+        payload["__t_next__"] = np.asarray(t_next)
+        for key, parts in hist_acc.items():
+            payload[key] = np.concatenate(parts, axis=0)
+        # suffix must be ".npz" — np.savez appends it to any other name
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path))
+                                   or ".", suffix=".npz")
+        os.close(fd)
+        np.savez(tmp, **payload)
+        os.replace(tmp, path)
+
+    while k_done < Nsim:
+        # scan exactly n steps; at most two executables compile (the full
+        # segment length and one tail remainder)
+        n = min(segment, Nsim - k_done)
+        inputs = make_step_inputs(cfg, n, t0=t0, k0=k_done)
+        carry, outs = seg_runner(carry, inputs)
+        H_seg = history_from_outputs(outs)
+        for key, v in H_seg.items():
+            hist_acc.setdefault(key, []).append(v)
+        k_done += n
+        t0 += n * cfg.h
+        save(carry, k_done, t0)
+
+    hist = {k: np.concatenate(v, axis=0) for k, v in hist_acc.items()}
+    return carry, hist
+
+
 def history_from_outputs(outs: MPCStepOut) -> Dict[str, np.ndarray]:
     """Map stacked MPCStepOut arrays to the simulator's history keys."""
     H = {

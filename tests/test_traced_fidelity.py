@@ -93,3 +93,28 @@ def test_adaptation_traced():
     for k in ("U", "XS", "US", "LAMBDA", "COR", "Upopt", "Ypopt"):
         np.testing.assert_allclose(Ht[k], H[k], rtol=1e-6, atol=1e-8,
                                     err_msg=f"history key {k}")
+
+
+def test_checkpointed_run_matches_and_resumes(tmp_path):
+    # segmented checkpointed scan == single scan, and a resume from the
+    # mid-sweep checkpoint reproduces the remainder exactly
+    from mpc_code_tpu.examples.lmpc_wb import make_config
+    from mpc_code_tpu.loop.batched import run_traced_checkpointed
+
+    cfg = make_config(Nsim=14)
+    path = str(tmp_path / "sweep.npz")
+    _, H1 = run_traced(cfg, Nsim=14)
+    _, H2 = run_traced_checkpointed(cfg, path, segment=5, Nsim=14,
+                                    resume=False)
+    for key in ("U", "Yp", "XS"):
+        assert np.abs(H2[key] - H1[key]).max() < 1e-10, key
+
+    # simulate a kill after the first segment: re-create the file with
+    # only segment 1 done, then resume
+    _, H_seg1 = run_traced_checkpointed(cfg, path, segment=5, Nsim=5,
+                                        resume=False)
+    _, H3 = run_traced_checkpointed(cfg, path, segment=5, Nsim=14,
+                                    resume=True)
+    assert H3["U"].shape == H1["U"].shape
+    for key in ("U", "Yp", "XS"):
+        assert np.abs(H3[key] - H1[key]).max() < 1e-10, key
