@@ -93,3 +93,37 @@ def batched_closed_loop(cfg: MPCConfig, x0_batch, n_steps: int,
         run = jax.jit(run)
 
     return run(carry0, inputs)
+
+
+def aggregate_metrics(statuses, iters, mesh: Mesh, axis: str = "batch"):
+    """Cross-chip reduction of per-lane solve metrics via shard_map + psum
+    (SURVEY.md §2.4: collectives appear only for metric/convergence
+    aggregation — the solves themselves are embarrassingly parallel).
+
+    ``statuses``/``iters``: per-lane arrays sharded over ``axis``.
+    Returns a replicated dict {n_ok, n_total, max_iters, sum_iters} —
+    identical on every device, so any process can read it without a
+    gather.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    @jax.jit
+    def agg(st, it):
+        def local(st_s, it_s):
+            n_ok = jnp.sum((st_s != 2).astype(jnp.int32))
+            n = jnp.asarray(st_s.shape[0], jnp.int32)
+            mx = jnp.max(it_s, initial=0).astype(jnp.int32)
+            sm = jnp.sum(it_s).astype(jnp.int32)
+            out = jnp.stack([n_ok, n, mx, sm])
+            s = lax.psum(out[:2], axis)          # sums across shards
+            m = lax.pmax(out[2:3], axis)         # max across shards
+            s2 = lax.psum(out[3:4], axis)
+            return jnp.concatenate([s, m, s2])
+
+        return shard_map(local, mesh=mesh,
+                         in_specs=(P(axis), P(axis)),
+                         out_specs=P())(st, it)
+
+    out = np.asarray(agg(jnp.asarray(statuses), jnp.asarray(iters)))
+    return dict(n_ok=int(out[0]), n_total=int(out[1]),
+                max_iters=int(out[2]), sum_iters=int(out[3]))

@@ -88,3 +88,20 @@ def test_sqrtm_psd():
     M = X @ X.T + 0.1 * np.eye(4)
     S = np.asarray(sqrtm_psd(M))
     assert np.allclose(S @ S, M, rtol=1e-10, atol=1e-10)
+
+
+def test_history_csv_roundtrip(tmp_path):
+    from mpc_code_tpu.utils.io import load_history_csv, save_history_csv
+
+    H = {"U": np.arange(12.0).reshape(6, 2),
+         "Yp": np.arange(18.0).reshape(6, 3) * 0.5,
+         "TIME_DYN": np.linspace(0.1, 0.6, 6),
+         "LAMBDA": np.ones((4, 2))}  # ragged: padded with NaN
+    p = str(tmp_path / "h.csv")
+    save_history_csv(p, H)
+    R = load_history_csv(p)
+    assert np.allclose(R["U"], H["U"])
+    assert np.allclose(R["Yp"], H["Yp"])
+    assert np.allclose(R["TIME_DYN"], H["TIME_DYN"])
+    assert np.allclose(R["LAMBDA"][:4], H["LAMBDA"].reshape(4, -1)[:, :2])
+    assert np.isnan(R["LAMBDA"][4:]).all()

@@ -45,3 +45,19 @@ def test_sharded_equals_unsharded():
     _, out_s = batched_closed_loop(cfg, x0s, n_steps=2, mesh=None,
                                    ysp=np.array([0.2, 0.0, 0.0]))
     assert np.allclose(np.asarray(out_m.u), np.asarray(out_s.u), atol=1e-10)
+
+
+def test_aggregate_metrics_psum():
+    # shard_map + psum/pmax metric aggregation over the virtual 8-device
+    # mesh matches the host computation (SURVEY.md §2.4 collectives)
+    from mpc_code_tpu.parallel.mesh import aggregate_metrics, make_mesh
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    st = rng.integers(0, 3, size=64).astype(np.int32)
+    it = rng.integers(1, 40, size=64).astype(np.int32)
+    out = aggregate_metrics(st, it, mesh)
+    assert out["n_ok"] == int((st != 2).sum())
+    assert out["n_total"] == 64
+    assert out["max_iters"] == int(it.max())
+    assert out["sum_iters"] == int(it.sum())
