@@ -327,8 +327,13 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
             dphi = (gf @ dw) - jnp.sum(bgrad * dz)   # directional derivative of phi
             dpsi = dphi - nu * c_norm
 
+            def merit_of(w_t, s_t, c_t):
+                # caller supplies the constraint residual to avoid a second
+                # nlp.g evaluation at the same trial point
+                return barrier_phi(w_t, s_t, mu) + nu * jnp.sum(jnp.abs(c_t))
+
             def merit(w_t, s_t):
-                return barrier_phi(w_t, s_t, mu) + nu * jnp.sum(jnp.abs(constraint_res(w_t, s_t)))
+                return merit_of(w_t, s_t, constraint_res(w_t, s_t))
 
             # Near a KKT point the merit decrease falls below f64 roundoff and
             # Armijo would reject spuriously; take the full (fraction-to-
@@ -344,11 +349,13 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
             # constraint curvature spikes the merit, re-solve the same KKT
             # system with the corrected residual c_soc = alpha*c + c(trial)
             # and try the corrected direction at its own boundary cap.
-            ok_full = merit(w + alpha_max * dw, s + alpha_max * ds) <= (
+            c_trial_full = constraint_res(w + alpha_max * dw, s + alpha_max * ds)
+            ok_full = merit_of(w + alpha_max * dw, s + alpha_max * ds,
+                               c_trial_full) <= (
                 psi0 + _ETA_LS * alpha_max * dpsi + slack)
 
             if ng > 0:
-                c_trial = constraint_res(w + alpha_max * dw, s + alpha_max * ds)
+                c_trial = c_trial_full
                 c_soc = alpha_max * r_c + c_trial
                 rhs_c_soc = -c_soc + sinv * (y + bgrad_s)
                 sol_soc = jnp.linalg.solve(K, jnp.concatenate([rhs_w, rhs_c_soc]))
@@ -386,19 +393,22 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
 
             psi0_finite = jnp.isfinite(psi0)
 
-            def feas_norm_capped(w_t, s_t):
-                r = constraint_res(w_t, s_t)
+            def capped(r):
                 return jnp.sum(jnp.abs(jnp.nan_to_num(r, posinf=1e30, neginf=-1e30)))
 
-            c0_capped = feas_norm_capped(w, s)
+            c0_capped = capped(r_c)   # current-point residual already computed
 
             def ls_body(carry):
+                # ONE constraint evaluation per trial point feeds both tests
                 j, _, _ = carry
                 alpha = alpha_max * (0.5 ** j)
-                psi_t = merit(w + alpha * dw, s + alpha * ds)
-                ok_merit = psi_t <= psi0 + _ETA_LS * alpha * dpsi + slack
+                w_t = w + alpha * dw
+                s_t = s + alpha * ds
+                c_t = constraint_res(w_t, s_t)
+                ok_merit = merit_of(w_t, s_t, c_t) <= (
+                    psi0 + _ETA_LS * alpha * dpsi + slack)
                 # merit overflow (runaway dynamics): require feasibility decrease
-                ok_resto = feas_norm_capped(w + alpha * dw, s + alpha * ds) <= 0.99 * c0_capped
+                ok_resto = capped(c_t) <= 0.99 * c0_capped
                 ok = jnp.where(psi0_finite, ok_merit, ok_resto)
                 return (j + 1, ok, alpha)
 

@@ -1254,15 +1254,6 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             slack_tol = 10.0 * eps_mach * (jnp.abs(psi0) + 1.0)
             near_opt = st.kkt0 < 1e-5
 
-            def merit(a):
-                Xt = X.at[1:].add(a * dX[1:])
-                Ut = U + a * dU
-                St = S + a * dS
-                rd_t, ri_t, rT_t = residuals(Xt, Ut, St)
-                return barrier_phi(Xt, Ut, St, mu) + nu_pen * (
-                    jnp.sum(jnp.abs(rd_t)) + jnp.sum(jnp.abs(ri_t))
-                    + jnp.sum(jnp.abs(rT_t)))
-
             def ls_cond(c):
                 j, acc, _ = c
                 return (~acc) & (j < _MAX_BACKTRACK)
@@ -1271,20 +1262,29 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             # pure feasibility-reduction test instead of accepting anything
             psi0_finite = jnp.isfinite(psi0)
 
-            def feas_norm(a):
-                rd_t, ri_t, rT_t = residuals(X.at[1:].add(a * dX[1:]),
-                                             U + a * dU, S + a * dS)
+            def capped(rd_t, ri_t, rT_t):
                 return (jnp.sum(jnp.abs(jnp.nan_to_num(rd_t, posinf=1e30, neginf=-1e30)))
                         + jnp.sum(jnp.abs(jnp.nan_to_num(ri_t, posinf=1e30, neginf=-1e30)))
                         + jnp.sum(jnp.abs(jnp.nan_to_num(rT_t, posinf=1e30, neginf=-1e30))))
 
-            c_norm_capped = feas_norm(0.0)
+            # the a=0 point's residuals are already in r_d/r_i/r_T — no
+            # extra rollout
+            c_norm_capped = capped(r_d, r_i, r_T)
 
             def ls_body(c):
+                # ONE residual rollout per trial point feeds both the merit
+                # test and the feasibility-restoration fallback
                 j, _, _ = c
                 a = alpha_max * (0.5 ** j)
-                ok_merit = merit(a) <= psi0 + _ETA_LS * a * dpsi + slack_tol
-                ok_resto = feas_norm(a) <= 0.99 * c_norm_capped
+                Xt = X.at[1:].add(a * dX[1:])
+                Ut = U + a * dU
+                St = S + a * dS
+                rd_t, ri_t, rT_t = residuals(Xt, Ut, St)
+                mer = barrier_phi(Xt, Ut, St, mu) + nu_pen * (
+                    jnp.sum(jnp.abs(rd_t)) + jnp.sum(jnp.abs(ri_t))
+                    + jnp.sum(jnp.abs(rT_t)))
+                ok_merit = mer <= psi0 + _ETA_LS * a * dpsi + slack_tol
+                ok_resto = capped(rd_t, ri_t, rT_t) <= 0.99 * c_norm_capped
                 ok = jnp.where(psi0_finite, ok_merit, ok_resto)
                 return (j + 1, ok, a)
 

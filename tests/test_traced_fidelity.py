@@ -118,3 +118,31 @@ def test_checkpointed_run_matches_and_resumes(tmp_path):
     assert H3["U"].shape == H1["U"].shape
     for key in ("U", "Yp", "XS"):
         assert np.abs(H3[key] - H1[key]).max() < 1e-10, key
+
+
+def test_collocation_traced_matches_host():
+    # collocated OCPs ride the structured (condensed) path in the traced
+    # step; the host loop solves the dense simultaneous transcription —
+    # cross-path agreement incl. the infeasibility-fallback semantics
+    import dataclasses as dc
+
+    from mpc_code_tpu.config import StageCost
+    from mpc_code_tpu.examples import enmpc as ex
+    from mpc_code_tpu.models.costs import xQx
+
+    Q = np.eye(2)
+    R = np.eye(1)
+
+    def cost(x, u, y, xs, us, ys, s_coll):
+        return 0.5 * (xQx(x - xs, Q) + xQx(u - us, R))
+
+    cfg = ex.make_config(Nsim=6).replace(
+        N=6, stage_cost=StageCost(f_coll=cost), ContForm=False,
+        Collocation=True)
+    cfg.estimator = dc.replace(cfg.estimator, kind="ekf",
+                               Q_kf=1e-5 * np.eye(4), R_kf=1e-4 * np.eye(2))
+    Hh = ClosedLoop(cfg).run()
+    _, Ht = run_traced(cfg, Nsim=6)
+    assert np.array_equal(np.asarray(Ht["STATUS_DYN"]),
+                          np.asarray(Hh["STATUS_DYN"]))
+    assert np.abs(Ht["U"] - Hh["U"]).max() < 1e-5

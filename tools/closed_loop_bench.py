@@ -34,12 +34,17 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    # the vmapped per-step while_loop runs to the SLOWEST lane; warm-started
+    # steps converge in ~5 iterations, so a tight cap bounds the batch tail
+    # (non-converged lanes fall back per-lane exactly like the host loop)
+    max_it = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
     from mpc_code_tpu.config import SolverOptions
 
     cfg = ge._small_cfg(N=20).replace(
-        sol_opts_dyn=SolverOptions.for_f32(max_iter=25, hessian="gauss_newton"),
-        sol_opts_ss=SolverOptions.for_f32(max_iter=25))
+        sol_opts_dyn=SolverOptions.for_f32(max_iter=max_it,
+                                           hessian="gauss_newton"),
+        sol_opts_ss=SolverOptions.for_f32(max_iter=max_it))
     rng = np.random.default_rng(0)
     x0s = (np.tile(np.asarray(cfg.x0_p, float), (B, 1))
            + rng.normal(scale=0.2, size=(B, cfg.nx))).astype(np.float32)
