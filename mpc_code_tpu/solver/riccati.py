@@ -57,20 +57,19 @@ def structured_supported(cfg: MPCConfig) -> bool:
     """True when the OCP fits the stagewise Riccati structure.
 
     Unsupported: user stage EQUALITIES (interior slack elimination needs
-    strict interiors), slack-softened user inequalities (slacksG — the
-    shared-slack augmentation currently covers output bounds only), and
-    the ContForm x Collocation combination.  ContForm (continuous-
-    quadrature economic stage cost), user stage inequalities G_ineq,
-    shared output slacks, terminal equality (TermCons — constrained
-    Riccati with a terminal multiplier), and Gauss-Legendre collocation
-    (exact within-stage condensation of the implicit RK step) are
-    supported.
+    strict interiors) and the ContForm x Collocation combination.
+    ContForm (continuous-quadrature economic stage cost), user stage
+    inequalities G_ineq (slack-softened or not — slacksG extends the
+    shared slack vector), shared output slacks, terminal equality
+    (TermCons — constrained Riccati with a terminal multiplier), and
+    Gauss-Legendre collocation (exact within-stage condensation of the
+    implicit RK step) are supported.
     """
     if cfg.Collocation and cfg.ContForm:
         return False
-    if cfg.H_eq is not None:
-        return False
-    if cfg.slacks and cfg.slacksG and cfg.G_ineq is not None:
+    if cfg.H_eq is not None and cfg.TermCons:
+        # stage equalities ride the bordered-stage Riccati; combining them
+        # with the terminal-multiplier recursion is not implemented
         return False
     return True
 
@@ -101,6 +100,8 @@ class StructuredOCP:
     nu_ctrl: int = 0            # true control count (nu minus slack slots)
     n_tc: int = 0               # terminal-equality rows (TermCons: nx)
     tc_target: Optional[Callable] = None  # p -> scaled target for x_N[:n_tc]
+    n_eq: int = 0               # user stage-equality rows (H_eq)
+    eq: Optional[Callable] = None  # (xa, u, k, p) -> (n_eq,) scaled h rows
 
 
 class StructResult(NamedTuple):
@@ -139,10 +140,11 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
     """
     if not structured_supported(cfg):
         raise ValueError("structured path: unsupported OCP features "
-                         "(ContForm x Collocation/H_eq/slacksG)")
+                         "(ContForm x Collocation / H_eq)")
     from mpc_code_tpu.ocp.shooting import _user_constraint_dim
 
     ng_user = _user_constraint_dim(cfg.G_ineq, cfg)
+    nh_user = _user_constraint_dim(cfg.H_eq, cfg)
 
     nx, nu, ny = cfg.nx, cfg.nu, cfg.ny
     b = cfg.bounds
@@ -180,7 +182,15 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
     # unnecessary here: an infinite row bound simply contributes no
     # barrier term.)
     slacks = bool(cfg.slacks) and not y_free
-    ns = 2 * ny if slacks else 0
+    # slacksG extends the SAME shared slack vector with ng_user entries
+    # softening the user inequalities (Control_Calc.py:133-136:
+    # G_k - Sl[2p : 2p+ng_v])
+    slacks_g = slacks and bool(cfg.slacksG) and ng_user > 0
+    # slacksH likewise appends nh_user entries softening the user stage
+    # equalities (Control_Calc.py:140-143: H_k - Sl[2p+ng_v : ...])
+    slacks_h = slacks and bool(cfg.slacksH) and nh_user > 0
+    ns = ((2 * ny + (ng_user if slacks_g else 0)
+           + (nh_user if slacks_h else 0)) if slacks else 0)
     if slacks:
         if cfg.Ws is None:
             raise ValueError("slacks=True requires Ws")
@@ -343,9 +353,10 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
                 if slacks:
                     s_k = jnp.where(k == 0, s_in, s_st)
                     # layout matches the reference: Sl[:ny] relaxes the
-                    # upper bound, Sl[ny:] the lower (Control_Calc.py:232-239)
-                    rows.append(yk + s_k[ny:])   # >= ymin
-                    rows.append(yk - s_k[:ny])   # <= ymax
+                    # upper bound, Sl[ny:2ny] the lower (Control_Calc.py:
+                    # 232-239; Sl[2ny:] belongs to slacksG rows)
+                    rows.append(yk + s_k[ny : 2 * ny])   # >= ymin
+                    rows.append(yk - s_k[:ny])           # <= ymax
                 else:
                     rows.append(yk)
             if du_bounds:
@@ -356,8 +367,12 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
                 # (Control_Calc.py / MPC_code.py:306-314; shooting.py g4 rows)
                 x = split(xa)[0]
                 yk = y_of(xa, ua, k, p)
-                rows.append(cfg.G_ineq(x, u, yk, p["d"], p["t"],
-                                       p["px"][k], p["py"][k]).reshape(-1))
+                gk = cfg.G_ineq(x, u, yk, p["d"], p["t"],
+                                p["px"][k], p["py"][k]).reshape(-1)
+                if slacks_g:
+                    s_k = jnp.where(k == 0, s_in, s_st)
+                    gk = gk - s_k[2 * ny : 2 * ny + ng_user]
+                rows.append(gk)
             if ni_coll:
                 # state box applied to the condensed collocation stage
                 # states s1, s2 (Control_Calc.py:552-556)
@@ -366,6 +381,25 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
             return jnp.concatenate(rows)
     else:
         ineq = None
+
+    if nh_user:
+        # stagewise user equality h(x,u,y,...) = 0 over the corrected
+        # output (shooting.py g5 rows; Control_Calc.py:140-145), optionally
+        # softened by shared slack entries (slacksH)
+        sl_h_off = 2 * ny + (ng_user if slacks_g else 0)
+
+        def eq(xa, ua, k, p):
+            x, _, s_st = split(xa)
+            u, s_in = split_u(ua)
+            yk = y_of(xa, ua, k, p)
+            hk = cfg.H_eq(x, u, yk, p["d"], p["t"],
+                          p["px"][k], p["py"][k]).reshape(-1)
+            if slacks_h:
+                s_k = jnp.where(k == 0, s_in, s_st)
+                hk = hk - s_k[sl_h_off : sl_h_off + nh_user]
+            return hk
+    else:
+        eq = None
 
     y_lo = (np.asarray(ymin, float).reshape(-1) if ymin is not None
             else np.full(ny, -np.inf))
@@ -446,6 +480,13 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
     else:
         ineq_s = None
 
+    raw_eq = eq
+    if eq is not None:
+        def eq_s(xa, u, k, p):
+            return raw_eq(sxa_j * xa, su_j * u, k, p)
+    else:
+        eq_s = None
+
     def x0_s(p):
         return raw_x0(p) / sxa_j
 
@@ -470,7 +511,83 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
                          lbx=lbx / sxa, ubx=ubx / sxa,
                          lbu=lbu / su, ubu=ubu / su,
                          x0_of_p=x0_s, sxa=sxa, su=su, si=si,
-                         ns=ns, nu_ctrl=nu, n_tc=n_tc, tc_target=tc_target)
+                         ns=ns, nu_ctrl=nu, n_tc=n_tc, tc_target=tc_target,
+                         n_eq=nh_user, eq=eq_s)
+
+
+def _riccati_eqstage(Hs, q, A, B, rd, PN, pN, Cz, hv, *, nxa, nu, n_eq):
+    """Riccati backward/forward pass with per-stage equality rows.
+
+    Each stage carries the user equality linearization
+        Cx dx + Cu du + hv = 0,   Cz = [Cx  Cu]  (n_eq, nxa+nu)
+    and the stage subproblem is the bordered KKT system
+
+        [Quu  Cu'] [du]   [-(qu + Qux dx)]
+        [Cu    0 ] [mu] = [-(hv + Cx dx)]
+
+    eliminated via the Schur complement S = Cu Quu^{-1} Cu' (PD when Cu has
+    full row rank; a failed Cholesky flips `ok` for the caller's delta
+    bump).  The constrained value function stays quadratic:
+        K  = -Quu^{-1} (Qux + Cu' S^{-1} Cx~)
+        kf = -Quu^{-1} (qu  + Cu' S^{-1} h~)
+        Cx~ = Cx - Cu Quu^{-1} Qux,   h~ = hv - Cu Quu^{-1} qu
+        P  = Qxx + Qxu K + K'Qux + K'Quu K
+        p  = qx + Qxu kf + K'(qu + Quu kf)
+    Forward rollout recovers du and the stage multipliers
+    mu_k = S^{-1}(Cx~ dx_k + h~).  Replaces the dense transcription's H_eq
+    rows (Control_Calc.py:140-145) without a dense KKT factorization.
+    """
+    N = Hs.shape[0]
+    dtype = Hs.dtype
+    eps_s = 100.0 * jnp.finfo(dtype).eps
+
+    def bk(carry, inp):
+        P, pv, ok = carry
+        Hk, qk, Ak, Bk, rdk, Czk, hvk = inp
+        Cx, Cu = Czk[:, :nxa], Czk[:, nxa:]
+        Qxx = Hk[:nxa, :nxa] + Ak.T @ P @ Ak
+        Quu = Hk[nxa:, nxa:] + Bk.T @ P @ Bk
+        Qxu = Hk[:nxa, nxa:] + Ak.T @ P @ Bk
+        Pr = pv + P @ rdk
+        qx = qk[:nxa] + Ak.T @ Pr
+        qu = qk[nxa:] + Bk.T @ Pr
+        L = jnp.linalg.cholesky(Quu)
+        ok = ok & jnp.all(jnp.isfinite(L))
+        cho = lambda rhs: jax.scipy.linalg.cho_solve((L, True), rhs)
+        Qi_ux = cho(Qxu.T)                      # Quu^-1 Qux
+        Qi_qu = cho(qu)
+        Qi_Cut = cho(Cu.T)                      # Quu^-1 Cu'
+        S = Cu @ Qi_Cut
+        S = 0.5 * (S + S.T) + eps_s * jnp.eye(n_eq, dtype=dtype)
+        Ls = jnp.linalg.cholesky(S)
+        ok = ok & jnp.all(jnp.isfinite(Ls))
+        chos = lambda rhs: jax.scipy.linalg.cho_solve((Ls, True), rhs)
+        Cxt = Cx - Cu @ Qi_ux                   # Cx~
+        ht = hvk - Cu @ Qi_qu                   # h~
+        Si_Cxt = chos(Cxt)
+        Si_ht = chos(ht)
+        Kk = -(Qi_ux + Qi_Cut @ Si_Cxt)
+        kk = -(Qi_qu + Qi_Cut @ Si_ht)
+        P_new = Qxx + Qxu @ Kk + Kk.T @ Qxu.T + Kk.T @ Quu @ Kk
+        P_new = 0.5 * (P_new + P_new.T)
+        p_new = qx + Qxu @ kk + Kk.T @ (qu + Quu @ kk)
+        return (P_new, p_new, ok), (Kk, kk, Si_Cxt, Si_ht, P, pv)
+
+    (_, _, ok), (Ks, kf, Si_Cxt, Si_ht, P_seq, p_seq) = lax.scan(
+        bk, (PN, pN, jnp.asarray(True)), (Hs, q, A, B, rd, Cz, hv),
+        reverse=True)
+
+    def fwd(dx, inp):
+        Kk, kk, SiC, Sih, Ak, Bk, rdk = inp
+        du = kk + Kk @ dx
+        mu_k = SiC @ dx + Sih
+        dx_next = Ak @ dx + Bk @ du + rdk
+        return dx_next, (dx, du, mu_k)
+
+    dxN, (dX_head, dU, mu_seq) = lax.scan(
+        fwd, jnp.zeros(nxa, dtype=dtype), (Ks, kf, Si_Cxt, Si_ht, A, B, rd))
+    dX = jnp.concatenate([dX_head, dxN[None]], axis=0)
+    return ok, Ks, kf, P_seq, p_seq, mu_seq, dX, dU
 
 
 def _riccati_tc(Hs, q, A, B, rd, PN, pN, rT, *, nxa, nu, n_tc):
@@ -560,19 +677,22 @@ def make_stage_derivs(s: StructuredOCP, hessian: str = "exact") -> Callable:
     runs.  `p["_sf"]` is the objective scaling factor (1.0 if unscaled).
     """
     nxa, nu, ni = s.nxa, s.nu, s.ni
+    n_eq = s.n_eq
     nz = nxa + nu
     gauss_newton = hessian == "gauss_newton"
 
     def _cost(xa, u, k, p):
         return p["_sf"] * s.cost(xa, u, k, p)
 
-    def stage_lagrangian(xa, u, k, p, lam_k, nu_k):
+    def stage_lagrangian(xa, u, k, p, lam_k, nu_k, mu_k):
         val = _cost(xa, u, k, p) + lam_k @ s.dyn(xa, u, k, p)
         if ni:
             val = val + nu_k @ s.ineq(xa, u, k, p)
+        if n_eq:
+            val = val + mu_k @ s.eq(xa, u, k, p)
         return val
 
-    def stage_derivs(xa, u, k, p, lam_k, nu_k):
+    def stage_derivs(xa, u, k, p, lam_k, nu_k, mu_k=None):
         z = jnp.concatenate([xa, u])
 
         def c_of_z(zz):
@@ -584,7 +704,8 @@ def make_stage_derivs(s: StructuredOCP, hessian: str = "exact") -> Callable:
             H = jax.hessian(c_of_z)(z)
         else:
             def L_of_z(zz):
-                return stage_lagrangian(zz[:nxa], zz[nxa:], k, p, lam_k, nu_k)
+                return stage_lagrangian(zz[:nxa], zz[nxa:], k, p,
+                                        lam_k, nu_k, mu_k)
 
             H = jax.hessian(L_of_z)(z)
 
@@ -597,7 +718,13 @@ def make_stage_derivs(s: StructuredOCP, hessian: str = "exact") -> Callable:
         else:
             E = jnp.zeros((0, nz))
             ival = jnp.zeros(0)
-        return H, gc, Ad, Bd, E, ival
+        if n_eq:
+            Cz = jax.jacfwd(lambda zz: s.eq(zz[:nxa], zz[nxa:], k, p))(z)
+            hval = s.eq(xa, u, k, p)
+        else:
+            Cz = jnp.zeros((0, nz))
+            hval = jnp.zeros(0)
+        return H, gc, Ad, Bd, E, ival, Cz, hval
 
     return stage_derivs
 
@@ -622,6 +749,7 @@ class _SState(NamedTuple):
     kkt0: jnp.ndarray
     feas: jnp.ndarray
     xi: jnp.ndarray     # (n_tc,) terminal-equality multiplier
+    mu_h: jnp.ndarray   # (N, n_eq) user stage-equality multipliers
     # best-KKT iterate seen so far (returned if the final iterate is worse —
     # insurance against a late garbage step, e.g. a bound gap collapsing onto
     # the central path's complementarity-consistent non-stationary branch)
@@ -658,9 +786,14 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
     nz = nxa + nu
     n_tc = s.n_tc
     termcons = n_tc > 0  # terminal equality: constrained-Riccati KKT path
+    n_eq = s.n_eq
+    eqcons = n_eq > 0    # user stage equalities: bordered-stage Riccati
     if termcons and parallel:
         raise ValueError("TermCons is not supported with the parallel-scan "
                          "Riccati variant; use the sequential default")
+    if eqcons and (parallel or termcons):
+        raise ValueError("stage equalities (H_eq) are not supported with "
+                         "the parallel-scan variant or TermCons")
 
     def _cost(xa, u, k, p):
         return p["_sf"] * s.cost(xa, u, k, p)
@@ -669,7 +802,7 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
         return p["_sf"] * s.cost_N(xa, p)
 
     stage_derivs = make_stage_derivs(s, opts.hessian)
-    v_stage = jax.vmap(stage_derivs, in_axes=(0, 0, 0, None, 0, 0))
+    v_stage = jax.vmap(stage_derivs, in_axes=(0, 0, 0, None, 0, 0, 0))
     ks = jnp.arange(N)
 
     from mpc_code_tpu.solver.riccati_kernel import make_riccati_kkt
@@ -765,6 +898,7 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             kkt0=jnp.asarray(jnp.inf, dtype=dtype),
             feas=jnp.asarray(jnp.inf, dtype=dtype),
             xi=jnp.zeros(n_tc, dtype=dtype),
+            mu_h=jnp.zeros((N, n_eq), dtype=dtype),
             bX=X_init, bU=U_init, bS=S_init,
             bkkt=jnp.asarray(jnp.inf, dtype=dtype),
             bfeas=jnp.asarray(jnp.inf, dtype=dtype),
@@ -778,7 +912,11 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             else:
                 r_i = jnp.zeros((N, 0), dtype=dtype)
             r_T = (X[N][:n_tc] - tc_tgt) if termcons else jnp.zeros(0, dtype=dtype)
-            return r_d, r_i, r_T
+            if eqcons:
+                r_h = jax.vmap(s.eq, in_axes=(0, 0, 0, None))(X[:N], U, ks, p)
+            else:
+                r_h = jnp.zeros((N, 0), dtype=dtype)
+            return r_d, r_i, r_T, r_h
 
         def total_cost(X, U):
             cs = jax.vmap(_cost, in_axes=(0, 0, 0, None))(X[:N], U, ks, p)
@@ -797,8 +935,9 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
 
         def body(st: _SState) -> _SState:
             X, U, S = st.X, st.U, st.S
-            H, gc, A, B, E, ival = v_stage(X[:N], U, ks, p, st.lam, st.nus)
-            r_d, r_i, r_T = residuals(X, U, S)
+            H, gc, A, B, E, ival, Cz, hval = v_stage(
+                X[:N], U, ks, p, st.lam, st.nus, st.mu_h)
+            r_d, r_i, r_T, r_h = residuals(X, U, S)
 
             # --- KKT errors at the CURRENT point, assembled algebraically
             # from the stage data already computed (no second derivative
@@ -810,6 +949,9 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 EtZ = jnp.einsum("kia,ki->ka", E, st.nus)
             else:
                 EtZ = jnp.zeros((N, nz), dtype=dtype)
+            if eqcons:
+                CtM = jnp.einsum("kia,ki->ka", Cz, st.mu_h)
+                EtZ = EtZ + CtM
             gx_full = gc[:, :nxa] + AtL + EtZ[:, :nxa]
             gu_full = gc[:, nxa:] + BtL + EtZ[:, nxa:]
             gradN = jax.grad(lambda xx: _cost_N(xx, p))(X[N])
@@ -838,6 +980,9 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 if termcons:
                     e_feas = jnp.maximum(e_feas,
                                          jnp.max(jnp.abs(r_T), initial=0.0))
+                if eqcons:
+                    e_feas = jnp.maximum(e_feas,
+                                         jnp.max(jnp.abs(r_h), initial=0.0))
                 e_comp = jnp.maximum(
                     comp(X[1:], st.zlx[1:], st.zux[1:], lbx, ubx, hlx, hux, mu_v),
                     jnp.maximum(comp(U, st.zlu, st.zuu, lbu, ubu, hlu, huu, mu_v),
@@ -1039,6 +1184,7 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 q = q.at[:, nxa:].add(-bgU_)
                 pN_g = pN_cost - bgX_[N]
 
+                mu_h_new = st.mu_h
                 if termcons:
                     # constrained Riccati with terminal multiplier (no Pallas
                     # kernel for this rare configuration — plain vmapped scan)
@@ -1046,6 +1192,14 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                         _riccati_tc(Hs, q, A, B, r_d, PN_h, pN_g, r_T,
                                     nxa=nxa, nu=nu, n_tc=n_tc)
                     xi_new = jnp.where(solvable, xi_new, st.xi)
+                elif eqcons:
+                    # bordered-stage Riccati for user stage equalities
+                    solvable, Ks, kf, P_seq, p_seq, mu_seq, dX, dU = \
+                        _riccati_eqstage(Hs, q, A, B, r_d, PN_h, pN_g,
+                                         Cz, r_h, nxa=nxa, nu=nu, n_eq=n_eq)
+                    mu_h_new = jnp.nan_to_num(mu_seq, nan=0.0,
+                                              posinf=0.0, neginf=0.0)
+                    mu_h_new = jnp.where(solvable, mu_h_new, st.mu_h)
                 elif parallel:
                     solvable, Ks, kf, P_seq, p_seq = backward_par(st.delta, q, pN_g)
                 else:
@@ -1090,7 +1244,7 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                     lam_new = lam_new + jnp.einsum("kia,i->ka", F_seq, xi_new)
                 lam_new = jnp.nan_to_num(lam_new, nan=0.0, posinf=0.0, neginf=0.0)
                 lam_new = jnp.where(solvable, lam_new, st.lam)
-                return (solvable, dX, dU, dS, dnu, lam_new, xi_new,
+                return (solvable, dX, dU, dS, dnu, lam_new, xi_new, mu_h_new,
                         q, g_extra, pN_g)
 
             # per-component dual steps for complementarity targets tl/tu
@@ -1105,7 +1259,7 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 # affine predictor: pure primal-dual Newton (zero
                 # complementarity target)
                 zero = jnp.zeros((), dtype=dtype)
-                (slv_a, dXa, dUa, dSa, _, _, _, _, _, _) = compute_direction(
+                (slv_a, dXa, dUa, dSa, _, _, _, _, _, _, _) = compute_direction(
                     jnp.zeros_like(X), jnp.zeros_like(U), jnp.zeros_like(S))
                 dzlx_a, dzux_a = dz_of(X, dXa, st.zlx, st.zux, lbx, ubx,
                                        hlx, hux, zero, zero)
@@ -1194,12 +1348,13 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 bgS_c = (bg_of(S, lbi, ubi, hli, hui, mu, mu)
                          if ni else jnp.zeros((N, 0), dtype=dtype))
 
-            (solvable, dX, dU, dS, dnu, lam_new, xi_new,
+            (solvable, dX, dU, dS, dnu, lam_new, xi_new, mu_h_new,
              q, g_extra, pN_g) = compute_direction(bgX_c, bgU_c, bgS_c)
             bgS = bgS_c    # line-search directional derivative uses bgS
 
             dlam = lam_new - st.lam
             dxi = (xi_new - st.xi) if termcons else st.xi
+            dmu_h = mu_h_new - st.mu_h
 
             # --- fraction to boundary + merit line search ---
             tau = jnp.maximum(_TAU_MIN, 1.0 - mu)
@@ -1237,12 +1392,15 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                                 jnp.min(ftb_dual(st.zus, dzus), initial=jnp.inf)))))
 
             c_norm = (jnp.sum(jnp.abs(r_d)) + jnp.sum(jnp.abs(r_i))
-                      + jnp.sum(jnp.abs(r_T)))
+                      + jnp.sum(jnp.abs(r_T)) + jnp.sum(jnp.abs(r_h)))
             lam_inf = jnp.maximum(jnp.max(jnp.abs(lam_new), initial=0.0),
                                   jnp.max(jnp.abs(st.nus + dnu), initial=0.0))
             if termcons:
                 lam_inf = jnp.maximum(lam_inf,
                                       jnp.max(jnp.abs(xi_new), initial=0.0))
+            if eqcons:
+                lam_inf = jnp.maximum(lam_inf,
+                                      jnp.max(jnp.abs(mu_h_new), initial=0.0))
             nu_pen = jnp.maximum(1.5 * lam_inf + 1e-4, 0.5 * st.nu_pen)
             phi0 = barrier_phi(X, U, S, mu)
             psi0 = phi0 + nu_pen * c_norm
@@ -1262,14 +1420,13 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             # pure feasibility-reduction test instead of accepting anything
             psi0_finite = jnp.isfinite(psi0)
 
-            def capped(rd_t, ri_t, rT_t):
-                return (jnp.sum(jnp.abs(jnp.nan_to_num(rd_t, posinf=1e30, neginf=-1e30)))
-                        + jnp.sum(jnp.abs(jnp.nan_to_num(ri_t, posinf=1e30, neginf=-1e30)))
-                        + jnp.sum(jnp.abs(jnp.nan_to_num(rT_t, posinf=1e30, neginf=-1e30))))
+            def capped(*rs):
+                return sum(jnp.sum(jnp.abs(jnp.nan_to_num(
+                    r, posinf=1e30, neginf=-1e30))) for r in rs)
 
-            # the a=0 point's residuals are already in r_d/r_i/r_T — no
+            # the a=0 point's residuals are already in r_d/r_i/r_T/r_h — no
             # extra rollout
-            c_norm_capped = capped(r_d, r_i, r_T)
+            c_norm_capped = capped(r_d, r_i, r_T, r_h)
 
             def ls_body(c):
                 # ONE residual rollout per trial point feeds both the merit
@@ -1279,12 +1436,12 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 Xt = X.at[1:].add(a * dX[1:])
                 Ut = U + a * dU
                 St = S + a * dS
-                rd_t, ri_t, rT_t = residuals(Xt, Ut, St)
+                rd_t, ri_t, rT_t, rh_t = residuals(Xt, Ut, St)
                 mer = barrier_phi(Xt, Ut, St, mu) + nu_pen * (
                     jnp.sum(jnp.abs(rd_t)) + jnp.sum(jnp.abs(ri_t))
-                    + jnp.sum(jnp.abs(rT_t)))
+                    + jnp.sum(jnp.abs(rT_t)) + jnp.sum(jnp.abs(rh_t)))
                 ok_merit = mer <= psi0 + _ETA_LS * a * dpsi + slack_tol
-                ok_resto = capped(rd_t, ri_t, rT_t) <= 0.99 * c_norm_capped
+                ok_resto = capped(rd_t, ri_t, rT_t, rh_t) <= 0.99 * c_norm_capped
                 ok = jnp.where(psi0_finite, ok_merit, ok_resto)
                 return (j + 1, ok, a)
 
@@ -1305,6 +1462,7 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             lam_n = st.lam + alpha * dlam
             nus_n = st.nus + alpha * dnu
             xi_n = (st.xi + alpha * dxi) if termcons else st.xi
+            mu_h_n = st.mu_h + alpha * dmu_h
 
             def upd_duals(z_n, zl, zu, dzl, dzu, lb, ub, hl, hu):
                 zl_n = zl + ad * dzl
@@ -1335,7 +1493,7 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                           zlx=zlx_n, zux=zux_n, zlu=zlu_n, zuu=zuu_n,
                           zls=zls_n, zus=zus_n, mu=mu, nu_pen=nu_pen,
                           delta=delta_n, it=st.it + 1, done=jnp.asarray(False),
-                          kkt0=e_0, feas=feas, xi=xi_n,
+                          kkt0=e_0, feas=feas, xi=xi_n, mu_h=mu_h_n,
                           bX=bX_n, bU=bU_n, bS=bS_n, bkkt=bkkt_n, bfeas=bfeas_n)
             stay = st._replace(done=jnp.asarray(True), kkt0=e_0, feas=feas,
                                bX=bX_n, bU=bU_n, bS=bS_n, bkkt=bkkt_n,

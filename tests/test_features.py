@@ -131,9 +131,41 @@ def test_user_inequality_batched_matches_host():
         assert int(out.status_dyn) != 2
     assert np.abs(np.asarray(H["U"])[:, 0] - np.asarray(us)).max() < 1e-5
 
-    # slack-softened user constraints stay on the dense fallback
-    assert not structured_supported(
-        _base(G_ineq=G_ineq, slacks=True, slacksG=True, Ws=np.eye(5)))
+
+def test_slacksg_structured_matches_dense():
+    # slack-softened user inequalities (slacksG): the shared slack vector
+    # gains ng_user entries that relax the G rows (Control_Calc.py:133-136);
+    # structured (constant-slack augmentation) vs the dense transcription
+    from mpc_code_tpu.solver.riccati import structured_supported
+
+    def G_ineq(x, u, y, d, t, px, py):
+        return jnp.atleast_1d(x[0] + x[1] - 0.9)
+
+    ny = 2
+    bounds = Bounds(umin=np.array([-3.0]), umax=np.array([3.0]),
+                    ymin=np.array([-0.5, -0.5]), ymax=np.array([2.0, 2.0]))
+    # start where the G row is violated at the pinned x0 -> the hard
+    # variant is infeasible at step 0, the soft variant recovers via slack
+    x0 = np.array([0.8, 0.6])
+    cfg = _base(G_ineq=G_ineq, slacks=True, slacksG=True,
+                Ws=10.0 * np.eye(2 * ny + 1), bounds=bounds,
+                x0_p=x0, x0_m=x0)
+    assert structured_supported(cfg)
+    H = ClosedLoop(cfg).run()       # dense transcription host loop
+    assert (np.asarray(H["STATUS_DYN"]) != 2).all()
+
+    import jax
+
+    from mpc_code_tpu.loop.batched import init_carry, make_mpc_step
+
+    step = jax.jit(make_mpc_step(cfg, ysp=np.array([0.8, 0.4])))
+    c = init_carry(cfg)
+    us = []
+    for _ in range(cfg.Nsim):
+        c, out = step(c)
+        us.append(float(out.u[0]))
+        assert int(out.status_dyn) != 2
+    assert np.abs(np.asarray(H["U"])[:, 0] - np.asarray(us)).max() < 1e-4
 
 
 def test_user_equality_constraint_ss():
@@ -263,3 +295,34 @@ def test_kalss_auto_gain_closed_loop():
     # constrained equilibrium direction
     assert np.isfinite(H["Yp"]).all()
     assert np.abs(H["D_HAT"][-1]).max() < 1.0
+
+
+def test_user_equality_structured_matches_dense():
+    # stagewise user equality h(x,u,...) = 0 through the bordered-stage
+    # Riccati (structured) vs the dense transcription host loop
+    # (Control_Calc.py:140-145)
+    import jax
+
+    from mpc_code_tpu.loop.batched import init_carry, make_mpc_step
+    from mpc_code_tpu.solver.riccati import structured_supported
+
+    def H_eq(x, u, y, d, t, px, py):
+        # control pinned to a state-dependent line: u = 0.2 - 0.5 x2
+        return jnp.atleast_1d(u[0] + 0.5 * x[1] - 0.2)
+
+    cfg = _base(H_eq=H_eq)
+    assert structured_supported(cfg)
+    H = ClosedLoop(cfg).run()
+    assert (np.asarray(H["STATUS_DYN"]) != 2).all()
+    # the equality holds along the executed trajectory
+    viol = np.abs(H["U"][:, 0] + 0.5 * H["X_HAT"][:, 1] - 0.2)
+    assert viol.max() < 1e-6
+
+    step = jax.jit(make_mpc_step(cfg, ysp=np.array([0.8, 0.4])))
+    c = init_carry(cfg)
+    us = []
+    for _ in range(cfg.Nsim):
+        c, out = step(c)
+        us.append(float(out.u[0]))
+        assert int(out.status_dyn) != 2
+    assert np.abs(np.asarray(H["U"])[:, 0] - np.asarray(us)).max() < 1e-5

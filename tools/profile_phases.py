@@ -107,14 +107,15 @@ def main():
         return Xs_, Us_
 
     stage_derivs = make_stage_derivs(socp, opts.hessian)
-    v_stage = jax.vmap(stage_derivs, in_axes=(0, 0, 0, None, 0, 0))
+    v_stage = jax.vmap(stage_derivs, in_axes=(0, 0, 0, None, 0, 0, 0))
 
     def sweep_one(x0):
         p = make_par(x0)
         X, U = rep_state(x0)
         lam = jnp.zeros((N, nxa), jnp.float32)
         nus = jnp.zeros((N, ni), jnp.float32)
-        return v_stage(X[:N], U, ks, p, lam, nus)
+        mu_h = jnp.zeros((N, socp.n_eq), jnp.float32)
+        return v_stage(X[:N], U, ks, p, lam, nus, mu_h)
 
     def residuals_one(x0):
         p = make_par(x0)
@@ -136,7 +137,7 @@ def main():
     kkt = make_riccati_kkt(N, nxa, nu)
 
     def riccati_one(x0):
-        H, gc, A_, B_, E, ival = sweep_one(x0)
+        H, gc, A_, B_, E, ival = sweep_one(x0)[:6]
         rd = jnp.zeros((N, nxa), jnp.float32)
         PN = jnp.eye(nxa, dtype=jnp.float32)
         pN = jnp.zeros(nxa, jnp.float32)
