@@ -76,19 +76,23 @@ def main():
     # iterations, so cap at 16 and hand the stragglers to the rescue pass
     # (measured: max_iter 40 -> 16 is ~3x batch wall for 2-3 extra rescue
     # lanes out of 512)
-    def mk_opts(max_iter):
+    def mk_opts(max_iter, mu_strategy):
         return SolverOptions(max_iter=max_iter,
                              tol=float(os.environ.get("BENCH_TOL", "1e-3")),
                              constr_viol_tol=1e-3,
                              hessian=os.environ.get("BENCH_HESS", "gauss_newton"),
-                             mu_strategy=os.environ.get("BENCH_MU", "monotone"))
+                             mu_strategy=mu_strategy)
 
     par_scan = os.environ.get("BENCH_PAR", "0") == "1"
     solve = make_structured_solver(
-        socp, mk_opts(int(os.environ.get("BENCH_MAXIT", "12"))),
+        socp, mk_opts(int(os.environ.get("BENCH_MAXIT", "12")),
+                      os.environ.get("BENCH_MU", "monotone")),
         parallel=par_scan)
+    # the rescue passes always run monotone: it is the most robust
+    # schedule for the hard lanes regardless of the pass-1 strategy
     solve_rescue = make_structured_solver(
-        socp, mk_opts(int(os.environ.get("BENCH_RESCUE_MAXIT", "40"))),
+        socp, mk_opts(int(os.environ.get("BENCH_RESCUE_MAXIT", "40")),
+                      "monotone"),
         parallel=par_scan)
 
     nx, nu, ny, nd = cfg.nx, cfg.nu, cfg.ny, cfg.nd
@@ -148,23 +152,23 @@ def main():
     rescue_cool = make_lane(u_cool, solve=solve_rescue)
     RESCUE_CAP = int(os.environ.get("BENCH_RESCUE_CAP", "512"))
 
-    def run_sub(fn, xb_np, sel, status, iters, feas, kkt):
-        # pad to the smallest power-of-two bucket that fits (jit caches one
-        # executable per shape; buckets keep the rescue batch proportional
-        # to the actual failure count instead of always paying RESCUE_CAP)
-        cap = 64
-        while cap < len(sel):
-            cap *= 2
-        cap = min(cap, RESCUE_CAP)
-        xr = np.zeros((cap, nx), np.float32)
-        xr[: len(sel)] = xb_np[sel]
-        xr[len(sel):] = xb_np[sel[0] if len(sel) else 0]
-        r2 = fn(jnp.asarray(xr))
-        st2 = np.asarray(r2.status)[: len(sel)]
-        status[sel] = st2
-        feas[sel] = np.asarray(r2.feas_err)[: len(sel)]
-        kkt[sel] = np.asarray(r2.kkt_err)[: len(sel)]
-        iters[sel] = iters[sel] + np.asarray(r2.iters)[: len(sel)]
+    def run_sub(fn, xb_np, sel_all, status, iters, feas, kkt):
+        # process the WHOLE failed set in chunks of at most RESCUE_CAP
+        # lanes, each padded to the smallest power-of-two bucket that fits
+        # (jit caches one executable per shape) — no silent capacity drop
+        for i0 in range(0, len(sel_all), RESCUE_CAP):
+            sel = sel_all[i0 : i0 + RESCUE_CAP]
+            cap = 64
+            while cap < len(sel):
+                cap *= 2
+            xr = np.zeros((cap, nx), np.float32)
+            xr[: len(sel)] = xb_np[sel]
+            xr[len(sel):] = xb_np[sel[0] if len(sel) else 0]
+            r2 = fn(jnp.asarray(xr))
+            status[sel] = np.asarray(r2.status)[: len(sel)]
+            feas[sel] = np.asarray(r2.feas_err)[: len(sel)]
+            kkt[sel] = np.asarray(r2.kkt_err)[: len(sel)]
+            iters[sel] = iters[sel] + np.asarray(r2.iters)[: len(sel)]
 
     def run_pipeline(xb_np):
         """Full multi-pass solve; returns (status, iters, feas, kkt)."""
@@ -173,7 +177,7 @@ def main():
         feas = np.array(res.feas_err)
         iters = np.array(res.iters)
         kkt = np.array(res.kkt_err)
-        bad = np.where(status == 2)[0][:RESCUE_CAP]
+        bad = np.where(status == 2)[0]
         if len(bad):
             run_sub(rescue_steady, xb_np, bad, status, iters, feas, kkt)
             bad2 = bad[status[bad] == 2]
@@ -206,8 +210,8 @@ def main():
         f"# compile={compile_s:.1f}s best={best*1000:.1f}ms/batch batch={B} "
         f"ok={n_ok}/{B} med_iters={np.median(iters):.0f} "
         f"max_feas(ok)={max_feas_ok:.2e} max_feas(all)={feas.max():.2e} "
-        f"kkt p10/50/90={np.percentile(kkt,10):.1e}/"
-        f"{np.percentile(kkt,50):.1e}/{np.percentile(kkt,90):.1e} "
+        f"kkt(ok) p10/50/90={np.percentile(kkt[ok],10):.1e}/"
+        f"{np.percentile(kkt[ok],50):.1e}/{np.percentile(kkt[ok],90):.1e} "
         f"platform={jax.devices()[0].platform}",
         file=sys.stderr,
     )

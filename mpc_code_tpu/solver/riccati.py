@@ -1305,7 +1305,9 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                         gu = jnp.where(hu, ub - (z + ap * dz), 0.0)
                         s = (jnp.sum(gl * (zl + ad * dzl))
                              + jnp.sum(gu * (zu + ad * dzu)))
-                        cnt = jnp.sum(hl) + jnp.sum(hu)
+                        # masks are per-variable; the products span the
+                        # leading stage axis too
+                        cnt = z.shape[0] * (jnp.sum(hl) + jnp.sum(hu))
                         return s, cnt
 
                     s1, c1 = fam(X[1:], dXa[1:], st.zlx[1:], st.zux[1:],
@@ -1328,13 +1330,19 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 mu = jnp.clip(sigma_m * mu_avg, opts.tol / 10.0, 1e4)
 
                 # corrector: componentwise targets mu - dprim*dz_aff
-                # (lower) / mu + dprim*dz_aff (upper)
-                tlx = mu - dXa * dzlx_a
-                tux = mu + dXa * dzux_a
-                tlu = mu - dUa * dzlu_a
-                tuu = mu + dUa * dzuu_a
-                tls = mu - dSa * dzls_a
-                tus = mu + dSa * dzus_a
+                # (lower) / mu + dprim*dz_aff (upper), clipped to a band
+                # around mu — unbounded second-order terms destabilize f32
+                # lanes far from the central path (targets <= 0 flip the
+                # barrier gradient's sign; huge ones blow up the step)
+                def tgt(so):
+                    return jnp.clip(mu + so, 0.01 * mu, 100.0 * mu)
+
+                tlx = tgt(-dXa * dzlx_a)
+                tux = tgt(dXa * dzux_a)
+                tlu = tgt(-dUa * dzlu_a)
+                tuu = tgt(dUa * dzuu_a)
+                tls = tgt(-dSa * dzls_a)
+                tus = tgt(dSa * dzus_a)
                 bgX_c = bg_of(X, lbx, ubx, hlx, hux, tlx, tux).at[0].set(0.0)
                 bgU_c = bg_of(U, lbu, ubu, hlu, huu, tlu, tuu)
                 bgS_c = (bg_of(S, lbi, ubi, hli, hui, tls, tus)
