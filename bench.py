@@ -40,6 +40,13 @@ def main():
     # TPU matmuls default to bf16 on the MXU; IPM linear algebra needs true
     # f32 accumulation (3-pass) to converge below ~1e-2 scaled KKT error.
     jax.config.update("jax_default_matmul_precision", "highest")
+    # persistent compile cache: repeat invocations (driver retries, tuning
+    # sweeps) skip the multi-minute remote XLA compiles when the graphs
+    # are unchanged
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("BENCH_CACHE", "/tmp/mpc_tpu_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from mpc_code_tpu.config import SolverOptions

@@ -32,19 +32,29 @@ def main():
     cfg = mod.make_config(Nsim=Nsim)
     if N:
         cfg = cfg.replace(N=N)
-    if name == "nmpc" and jax.devices()[0].platform != "cpu":
-        # f32 saturation guard: the CSTR Arrhenius term overflows f32 for
-        # T beyond ~345 K inside intermediate RK stages; clip the ODE input
-        # states to the physical region exactly as the reference's own tank
-        # model does (Ex_NMPC_dis.py:75-77).  Same guard as bench.py.
-        import dataclasses as dc
+    if jax.devices()[0].platform != "cpu":
+        # on-chip (f32) configuration: tolerances reachable in single
+        # precision — the example defaults (tol=1e-8) sit below the f32 KKT
+        # floor and would spin every solve to max_iter
+        from mpc_code_tpu.config import SolverOptions
 
-        import numpy as np_
+        cfg = cfg.replace(sol_opts_ss=SolverOptions.for_f32(),
+                          sol_opts_dyn=SolverOptions.for_f32(),
+                          sol_opts_mhe=SolverOptions.for_f32())
+        if name == "nmpc":
+            # f32 saturation guard: the CSTR Arrhenius term overflows f32
+            # for T beyond ~345 K inside intermediate RK stages; clip the
+            # ODE input states to the physical region exactly as the
+            # reference's own tank model does (Ex_NMPC_dis.py:75-77).
+            # Same guard as bench.py.
+            import dataclasses as dc
 
-        cfg = cfg.replace(model=dc.replace(
-            cfg.model,
-            clip_lo=np_.array([0.0, 280.0, 0.4]),
-            clip_hi=np_.array([2.0, 420.0, 1.0])))
+            import numpy as np_
+
+            cfg = cfg.replace(model=dc.replace(
+                cfg.model,
+                clip_lo=np_.array([0.0, 280.0, 0.4]),
+                clip_hi=np_.array([2.0, 420.0, 1.0])))
     H = ClosedLoop(cfg).run()
     for key, label in (("TIME_SS", "target"), ("TIME_DYN", "OCP")):
         t = np.asarray(H[key])[2:]  # drop compile-affected steps
