@@ -86,7 +86,11 @@ class ClosedLoop:
             f_obj = build_stage_cost(cfg.stage_cost)
             vfin = build_terminal_cost(cfg)
             self.target_spec = build_target(cfg, self.model, fss_obj)
-            if cfg.Collocation:
+            # ContForm wins over Collocation (reference: opt_dyn_CM's
+            # ContForm branch never emits the collocation equations,
+            # Control_Calc.py:428-436)
+            self.colloc = bool(cfg.Collocation) and not cfg.ContForm
+            if self.colloc:
                 from mpc_code_tpu.ocp.collocation import build_ocp_collocation
 
                 self.ocp_spec = build_ocp_collocation(cfg, self.model, f_obj, vfin)
@@ -312,13 +316,13 @@ class ClosedLoop:
                     w_guess = np.zeros(nw)                 # MPC_code.py:740-756
                     x0m = np.asarray(cfg.x0_m, float).reshape(-1)
                     for key in range(1, N + 1):
-                        if cfg.Collocation:                # MPC_code.py:748-751
+                        if self.colloc:                    # MPC_code.py:748-751
                             w_guess[key * st - nu - 2 * nx : key * st - nu] = np.tile(x0m, 2)
                         w_guess[key * st - nu : key * st] = u_k
                         w_guess[key * st : key * st + nx] = x0m
                     w_guess[:nx] = x0m
                 elif ocp_feasible:
-                    if cfg.Collocation:                    # MPC_code.py:759-761
+                    if self.colloc:                        # MPC_code.py:759-761
                         w_guess = np.concatenate([w_opt[st : nw - ns], xs_prev, xs_prev,
                                                   us_prev, xs_prev, w_opt[nw - ns : nw]])
                     else:

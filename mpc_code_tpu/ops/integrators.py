@@ -17,11 +17,28 @@ accuracy difference: fixed- vs adaptive-step).
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+def _unroll() -> bool:
+    """Unroll the Mx sub-step scan on TPU: the scan carry round-trips HBM
+    every sub-step, and under jacfwd the carry is (1 + n_tangents) x the
+    state — unrolling lets XLA fuse the whole interval into a few kernels.
+    Off by default on CPU, where the suite's many f64 solver graphs would
+    pay a large compile-time blowup for no win.  Override with
+    MPC_TPU_RK4_UNROLL=0/1.  Evaluated at trace time, after the test
+    conftest/bench have pinned the platform."""
+    env = os.environ.get("MPC_TPU_RK4_UNROLL")
+    if env is not None:
+        return env == "1"
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def rk4(f: Callable, Mx: int) -> Callable:
@@ -44,7 +61,7 @@ def rk4(f: Callable, Mx: int) -> Callable:
             x_next = xk + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
             return (x_next, tk + dt), None
 
-        (xf, _), _ = lax.scan(body, (x, jnp.asarray(t0, dtype=jnp.result_type(x))), None, length=Mx)
+        (xf, _), _ = lax.scan(body, (x, jnp.asarray(t0, dtype=jnp.result_type(x))), None, length=Mx, unroll=_unroll())
         return xf
 
     return step
@@ -77,7 +94,7 @@ def rk4_quad(f: Callable, q: Callable, Mx: int) -> Callable:
             return (x_next, tk + dt, acc_next), None
 
         init = (x, jnp.asarray(t0, dtype=dtype), jnp.zeros((), dtype=dtype))
-        (xf, _, qf), _ = lax.scan(body, init, None, length=Mx)
+        (xf, _, qf), _ = lax.scan(body, init, None, length=Mx, unroll=_unroll())
         return xf, qf
 
     return step

@@ -57,16 +57,20 @@ def structured_supported(cfg: MPCConfig) -> bool:
     """True when the OCP fits the stagewise Riccati structure.
 
     Unsupported: user stage EQUALITIES (interior slack elimination needs
-    strict interiors) and the ContForm x Collocation combination.
-    ContForm (continuous-quadrature economic stage cost), user stage
-    inequalities G_ineq (slack-softened or not — slacksG extends the
-    shared slack vector), shared output slacks, terminal equality
-    (TermCons — constrained Riccati with a terminal multiplier), and
-    Gauss-Legendre collocation (exact within-stage condensation of the
-    implicit RK step) are supported.
+    strict interiors) combined with TermCons.  ContForm (continuous-
+    quadrature economic stage cost), user stage inequalities G_ineq
+    (slack-softened or not — slacksG extends the shared slack vector),
+    shared output slacks, terminal equality (TermCons — constrained
+    Riccati with a terminal multiplier), and Gauss-Legendre collocation
+    (exact within-stage condensation of the implicit RK step) are
+    supported.  ContForm x Collocation follows the reference semantics:
+    opt_dyn_CM's ContForm branch never emits the collocation equations —
+    the dynamics are the integrator/shooting quadrature and the S1/S2
+    stage variables dangle unconstrained (Control_Calc.py:428-436 vs the
+    skipped rg1/rg2 at 473-481) — so the combination IS ContForm
+    shooting, which the structured path handles directly (minus the
+    reference's inert dangling variables).
     """
-    if cfg.Collocation and cfg.ContForm:
-        return False
     if cfg.H_eq is not None and cfg.TermCons:
         # stage equalities ride the bordered-stage Riccati; combining them
         # with the terminal-multiplier recursion is not implemented
@@ -140,7 +144,7 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
     """
     if not structured_supported(cfg):
         raise ValueError("structured path: unsupported OCP features "
-                         "(ContForm x Collocation / H_eq)")
+                         "(H_eq x TermCons)")
     from mpc_code_tpu.ocp.shooting import _user_constraint_dim
 
     ng_user = _user_constraint_dim(cfg.G_ineq, cfg)
@@ -196,7 +200,10 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
             raise ValueError("slacks=True requires Ws")
         Ws_j = jnp.asarray(np.asarray(cfg.Ws, float)[:ns, :ns])
 
-    colloc = bool(cfg.Collocation)
+    # ContForm wins over Collocation, as in the reference: opt_dyn_CM's
+    # ContForm branch integrates with the IDAS quadrature and never emits
+    # the collocation equations (Control_Calc.py:428-436)
+    colloc = bool(cfg.Collocation) and not cont_form
     x_box = xmin is not None or xmax is not None
     ni_coll = 2 * nx if (colloc and x_box) else 0  # s1,s2 box rows
 
@@ -671,8 +678,10 @@ def _riccati_tc(Hs, q, A, B, rd, PN, pN, rT, *, nxa, nu, n_tc):
 
 def make_stage_derivs(s: StructuredOCP, hessian: str = "exact") -> Callable:
     """Per-stage derivative sweep `(xa, u, k, p, lam_k, nu_k) -> (H, gc, A,
-    B, E, ival)` — the IPM's phase-1 work (cost Hessian/gradient, dynamics
-    and inequality Jacobians).  Exposed at module level so the per-phase
+    B, E, ival, Cz, hval, dval)` — the IPM's phase-1 work (cost Hessian/
+    gradient, dynamics and inequality Jacobians, plus the primal dynamics/
+    constraint values jacfwd evaluates anyway, returned so the solver body
+    assembles residuals without a second rollout).  Exposed at module level so the per-phase
     profiler (`tools/profile_phases.py`) times exactly what the solver
     runs.  `p["_sf"]` is the objective scaling factor (1.0 if unscaled).
     """
@@ -710,21 +719,35 @@ def make_stage_derivs(s: StructuredOCP, hessian: str = "exact") -> Callable:
             H = jax.hessian(L_of_z)(z)
 
         gc = jax.grad(c_of_z)(z)
-        Ad = jax.jacfwd(lambda xx: s.dyn(xx, u, k, p))(xa)
-        Bd = jax.jacfwd(lambda uu: s.dyn(xa, uu, k, p))(u)
+
+        # one jacfwd over the stacked z=[x;u] with the primal value returned
+        # as aux: the dynamics value feeds the defect residual r_d directly,
+        # so the solver body never re-rolls the dynamics at the iterate
+        def dyn_aux(zz):
+            v = s.dyn(zz[:nxa], zz[nxa:], k, p)
+            return v, v
+
+        Jd, dval = jax.jacfwd(dyn_aux, has_aux=True)(z)
+        Ad, Bd = Jd[:, :nxa], Jd[:, nxa:]
         if ni:
-            E = jax.jacfwd(lambda zz: s.ineq(zz[:nxa], zz[nxa:], k, p))(z)
-            ival = s.ineq(xa, u, k, p)
+            def ineq_aux(zz):
+                v = s.ineq(zz[:nxa], zz[nxa:], k, p)
+                return v, v
+
+            E, ival = jax.jacfwd(ineq_aux, has_aux=True)(z)
         else:
             E = jnp.zeros((0, nz))
             ival = jnp.zeros(0)
         if n_eq:
-            Cz = jax.jacfwd(lambda zz: s.eq(zz[:nxa], zz[nxa:], k, p))(z)
-            hval = s.eq(xa, u, k, p)
+            def eq_aux(zz):
+                v = s.eq(zz[:nxa], zz[nxa:], k, p)
+                return v, v
+
+            Cz, hval = jax.jacfwd(eq_aux, has_aux=True)(z)
         else:
             Cz = jnp.zeros((0, nz))
             hval = jnp.zeros(0)
-        return H, gc, Ad, Bd, E, ival, Cz, hval
+        return H, gc, Ad, Bd, E, ival, Cz, hval, dval
 
     return stage_derivs
 
@@ -935,9 +958,15 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
 
         def body(st: _SState) -> _SState:
             X, U, S = st.X, st.U, st.S
-            H, gc, A, B, E, ival, Cz, hval = v_stage(
+            H, gc, A, B, E, ival, Cz, hval, dval = v_stage(
                 X[:N], U, ks, p, st.lam, st.nus, st.mu_h)
-            r_d, r_i, r_T, r_h = residuals(X, U, S)
+            # residuals at the iterate, assembled from the sweep's primal
+            # values (dval/ival/hval are the dynamics/inequality/equality
+            # evaluations jacfwd already produced — no second rollout)
+            r_d = dval - X[1:]
+            r_i = (ival - S) if ni else jnp.zeros((N, 0), dtype=dtype)
+            r_T = (X[N][:n_tc] - tc_tgt) if termcons else jnp.zeros(0, dtype=dtype)
+            r_h = hval if eqcons else jnp.zeros((N, 0), dtype=dtype)
 
             # --- KKT errors at the CURRENT point, assembled algebraically
             # from the stage data already computed (no second derivative

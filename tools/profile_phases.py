@@ -12,11 +12,16 @@ timers.)
 
 Usage:
     python tools/profile_phases.py [--batch 2048] [--n 50] [--reps 5]
-        [--cpu] [--trace DIR]     # DIR: jax.profiler trace output
+        [--k 16] [--cpu] [--trace DIR]     # DIR: jax.profiler trace output
 
 Phases are timed on the same batch the bench uses (CSTR NMPC, f32,
-Gauss-Newton).  `--trace` additionally captures a jax.profiler trace of
-one full batched solve for TensorBoard/xprof.
+Gauss-Newton).  Each phase is repeated K times INSIDE one jitted
+dispatch (a lax.scan whose carry perturbs the input, so iterations
+cannot be collapsed) and the per-phase cost is the K-vs-1 difference
+quotient — on the remote-TPU backend every isolated dispatch pays a
+~30 ms tunnel floor that would otherwise swamp phases of a few ms.
+`--trace` additionally captures a jax.profiler trace of one full
+batched solve for TensorBoard/xprof.
 """
 
 import argparse
@@ -35,6 +40,8 @@ def main():
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--n", type=int, default=50)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--k", type=int, default=16,
+                    help="in-graph repetitions per phase dispatch")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--trace", default=None,
                     help="capture a jax.profiler trace of one solve to DIR")
@@ -49,6 +56,7 @@ def main():
     import dataclasses as dc
 
     import jax.numpy as jnp
+    from jax import lax
 
     from mpc_code_tpu.config import SolverOptions
     from mpc_code_tpu.examples.nmpc import make_config
@@ -163,6 +171,44 @@ def main():
         best = min(times)
         return name, best
 
+    def timeit_ingraph(name, fn):
+        """Per-phase cost free of the per-dispatch floor: run the phase K
+        times inside one jit (serialized through a tiny input perturbation)
+        and difference against a single-rep dispatch."""
+
+        def leafsum(out):
+            return sum(jnp.sum(jnp.asarray(o, jnp.float32))
+                       for o in jax.tree_util.tree_leaves(out))
+
+        def rep(k_reps):
+            def one(xb):
+                def step(c, _):
+                    # the perturbation is numerically an exact no-op
+                    # (|1e-30*c| <= 1e-24 << eps*|xb|) but data-dependent,
+                    # so XLA cannot hoist the body out of the scan
+                    out = jax.vmap(fn)(xb + 1e-30 * c)
+                    s = leafsum(out)
+                    return jnp.clip(jnp.nan_to_num(s, nan=0.0, posinf=0.0,
+                                                   neginf=0.0), -1e6, 1e6), None
+
+                c, _ = lax.scan(step, jnp.zeros((), jnp.float32),
+                                None, length=k_reps)
+                return c
+
+            return jax.jit(one)
+
+        fK, f1 = rep(args.k), rep(1)
+        jax.block_until_ready(fK(x0s))
+        jax.block_until_ready(f1(x0s))
+        tK = min(_clock(fK, x0s) for _ in range(args.reps))
+        t1 = min(_clock(f1, x0s) for _ in range(args.reps))
+        return name, max(tK - t1, 0.0) / (args.k - 1)
+
+    def _clock(f, xb):
+        t0 = time.time()
+        jax.block_until_ready(f(xb))
+        return time.time() - t0
+
     rows = []
     full_name, full_t = timeit("full_solve", lane)
     res = jax.jit(jax.vmap(lane))(x0s)
@@ -174,7 +220,7 @@ def main():
         ("merit_eval", merit_one),
     ]
     for name, fn in phases:
-        rows.append(timeit(name, fn))
+        rows.append(timeit_ingraph(name, fn))
     rows.append((full_name, full_t))
 
     per_iter = full_t / max(med_iters, 1.0)
