@@ -29,7 +29,7 @@ def make_config(Nsim: int = 200) -> MPCConfig:
     # extra state (Ex_LMPCxp_nlplant.py:92-99)
     Phi = 0.01
     A = scla.block_diag(Alin, Phi)
-    B = np.row_stack([Blin, np.array([[1.0 - Phi, 0.0]])])
+    B = np.vstack([Blin, np.array([[1.0 - Phi, 0.0]])])
     C = np.column_stack([Clin, (Phi / 10.0) * np.array([[1.0], [0.0]])])
 
     xlin = np.array([0.5, 350.0, 0.659, 0.0])

@@ -108,7 +108,7 @@ def user_vfin(dx, xs):
 
 def make_config(Nsim: int = 1000) -> MPCConfig:
     nx, nu, ny, nd = 6, 2, 2, 2
-    K = np.row_stack([np.zeros((nx, ny)), np.eye(nd)])
+    K = np.vstack([np.zeros((nx, ny)), np.eye(nd)])
 
     return MPCConfig(
         nx=nx, nxp=6, nu=nu, ny=ny, nd=nd,

@@ -105,7 +105,10 @@ def aggregate_metrics(statuses, iters, mesh: Mesh, axis: str = "batch"):
     identical on every device, so any process can read it without a
     gather.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     @jax.jit
     def agg(st, it):

@@ -56,14 +56,17 @@ _THETA_MU = 1.5
 def structured_supported(cfg: MPCConfig) -> bool:
     """True when the OCP fits the stagewise Riccati structure.
 
-    Unsupported: user stage EQUALITIES (interior slack elimination needs
-    strict interiors) combined with TermCons.  ContForm (continuous-
+    Every reference OCP form is supported: ContForm (continuous-
     quadrature economic stage cost), user stage inequalities G_ineq
     (slack-softened or not — slacksG extends the shared slack vector),
     shared output slacks, terminal equality (TermCons — constrained
-    Riccati with a terminal multiplier), and Gauss-Legendre collocation
-    (exact within-stage condensation of the implicit RK step) are
-    supported.  ContForm x Collocation follows the reference semantics:
+    Riccati with a terminal multiplier), user stage equalities H_eq
+    (bordered-stage Riccati; combined with TermCons via the merged
+    recursion `_riccati_eqstage_tc`), and Gauss-Legendre collocation
+    (exact within-stage condensation of the implicit RK step).  Only the
+    opt-in parallel-scan variant still excludes TermCons/H_eq (see
+    make_structured_solver).  ContForm x Collocation follows the reference
+    semantics:
     opt_dyn_CM's ContForm branch never emits the collocation equations —
     the dynamics are the integrator/shooting quadrature and the S1/S2
     stage variables dangle unconstrained (Control_Calc.py:428-436 vs the
@@ -71,10 +74,6 @@ def structured_supported(cfg: MPCConfig) -> bool:
     shooting, which the structured path handles directly (minus the
     reference's inert dangling variables).
     """
-    if cfg.H_eq is not None and cfg.TermCons:
-        # stage equalities ride the bordered-stage Riccati; combining them
-        # with the terminal-multiplier recursion is not implemented
-        return False
     return True
 
 
@@ -676,6 +675,97 @@ def _riccati_tc(Hs, q, A, B, rd, PN, pN, rT, *, nxa, nu, n_tc):
     return ok, Ks, kf, P_seq, p_seq, F_seq, xi, dX, dU
 
 
+def _riccati_eqstage_tc(Hs, q, A, B, rd, PN, pN, Cz, hv, rT, *,
+                        nxa, nu, n_eq, n_tc):
+    """Bordered-stage Riccati WITH the terminal-multiplier recursion — the
+    H_eq x TermCons combination.
+
+    Stage gains come from the bordered KKT solve of `_riccati_eqstage`
+    (user equality rows eliminated via the Schur complement S = Cu Quu^-1
+    Cu'), evaluated for three right-hand sides: the dx coupling (K), the
+    constant (kf), and the terminal-multiplier coupling (Kxi, rhs (F B)').
+    The value function carries the same affine xi-dependence as
+    `_riccati_tc`; by the parametric-QP envelope the composition rules are
+    unchanged (mu* sensitivity does not enter because d2L/dxi dmu = 0):
+
+        F_k  = F A + (F B) K      f_k = f + F r + (F B) kf
+        Hm_k = Hm + (F B) Kxi
+
+    Stage multipliers gain an xi response: mu_k = S^-1(Cx~ dx + h~) -
+    S^-1 Cu Quu^-1 (F B)' xi.  Root solve and recovery as in _riccati_tc.
+    """
+    N = Hs.shape[0]
+    dtype = Hs.dtype
+    eps_s = 100.0 * jnp.finfo(dtype).eps
+    F_N = jnp.zeros((n_tc, nxa), dtype).at[:, :n_tc].set(jnp.eye(n_tc, dtype=dtype))
+
+    def bk(carry, inp):
+        P, pv, F, fv, Hm, ok = carry
+        Hk, qk, Ak, Bk, rdk, Czk, hvk = inp
+        Cx, Cu = Czk[:, :nxa], Czk[:, nxa:]
+        Qxx = Hk[:nxa, :nxa] + Ak.T @ P @ Ak
+        Quu = Hk[nxa:, nxa:] + Bk.T @ P @ Bk
+        Qxu = Hk[:nxa, nxa:] + Ak.T @ P @ Bk
+        Pr = pv + P @ rdk
+        qx = qk[:nxa] + Ak.T @ Pr
+        qu = qk[nxa:] + Bk.T @ Pr
+        L = jnp.linalg.cholesky(Quu)
+        ok = ok & jnp.all(jnp.isfinite(L))
+        cho = lambda rhs: jax.scipy.linalg.cho_solve((L, True), rhs)
+        Qi_Cut = cho(Cu.T)
+        S = Cu @ Qi_Cut
+        S = 0.5 * (S + S.T) + eps_s * jnp.eye(n_eq, dtype=dtype)
+        Ls = jnp.linalg.cholesky(S)
+        ok = ok & jnp.all(jnp.isfinite(Ls))
+        chos = lambda rhs: jax.scipy.linalg.cho_solve((Ls, True), rhs)
+
+        def bordered(g, e):
+            # du = -(Quu^-1 g + Quu^-1 Cu' S^-1 (e - Cu Quu^-1 g)),
+            # mu-response = S^-1 (e - Cu Quu^-1 g)
+            w = cho(g)
+            s_r = chos(e - Cu @ w)
+            return -(w + Qi_Cut @ s_r), s_r
+
+        FB = F @ Bk
+        Kk, Si_Cxt = bordered(Qxu.T, Cx)
+        kk, Si_ht = bordered(qu, hvk)
+        Kxi, Si_Cxi = bordered(FB.T, jnp.zeros((n_eq, n_tc), dtype=dtype))
+        P_new = Qxx + Qxu @ Kk + Kk.T @ Qxu.T + Kk.T @ Quu @ Kk
+        P_new = 0.5 * (P_new + P_new.T)
+        p_new = qx + Qxu @ kk + Kk.T @ (qu + Quu @ kk)
+        F_new = F @ Ak + FB @ Kk
+        f_new = fv + F @ rdk + FB @ kk
+        Hm_new = Hm + FB @ Kxi
+        Hm_new = 0.5 * (Hm_new + Hm_new.T)
+        return ((P_new, p_new, F_new, f_new, Hm_new, ok),
+                (Kk, kk, Kxi, Si_Cxt, Si_ht, Si_Cxi, P, pv, F))
+
+    carry0 = (PN, pN, F_N, rT, jnp.zeros((n_tc, n_tc), dtype), jnp.asarray(True))
+    ((_, _, _, f0, Hm0, ok),
+     (Ks, kf, Kxis, Si_Cxt, Si_ht, Si_Cxi, P_seq, p_seq, F_seq)) = lax.scan(
+        bk, carry0, (Hs, q, A, B, rd, Cz, hv), reverse=True)
+
+    M = -Hm0
+    eps_x = 10.0 * jnp.finfo(dtype).eps * (1.0 + jnp.max(jnp.abs(jnp.diag(M))))
+    Lx = jnp.linalg.cholesky(M + eps_x * jnp.eye(n_tc, dtype=dtype))
+    ok = ok & jnp.all(jnp.isfinite(Lx))
+    xi = jax.scipy.linalg.cho_solve((Lx, True), f0)
+    xi = jnp.nan_to_num(xi, nan=0.0, posinf=0.0, neginf=0.0)
+
+    def fwd(dx, inp):
+        Kk, kk, Kxi, SiC, Sih, SiXi, Ak, Bk, rdk = inp
+        du = kk + Kk @ dx + Kxi @ xi
+        mu_k = SiC @ dx + Sih + SiXi @ xi
+        dx_next = Ak @ dx + Bk @ du + rdk
+        return dx_next, (dx, du, mu_k)
+
+    dxN, (dX_head, dU, mu_seq) = lax.scan(
+        fwd, jnp.zeros(nxa, dtype=dtype),
+        (Ks, kf, Kxis, Si_Cxt, Si_ht, Si_Cxi, A, B, rd))
+    dX = jnp.concatenate([dX_head, dxN[None]], axis=0)
+    return ok, Ks, kf, P_seq, p_seq, F_seq, xi, mu_seq, dX, dU
+
+
 def make_stage_derivs(s: StructuredOCP, hessian: str = "exact") -> Callable:
     """Per-stage derivative sweep `(xa, u, k, p, lam_k, nu_k) -> (H, gc, A,
     B, E, ival, Cz, hval, dval)` — the IPM's phase-1 work (cost Hessian/
@@ -811,12 +901,10 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
     termcons = n_tc > 0  # terminal equality: constrained-Riccati KKT path
     n_eq = s.n_eq
     eqcons = n_eq > 0    # user stage equalities: bordered-stage Riccati
-    if termcons and parallel:
-        raise ValueError("TermCons is not supported with the parallel-scan "
-                         "Riccati variant; use the sequential default")
-    if eqcons and (parallel or termcons):
-        raise ValueError("stage equalities (H_eq) are not supported with "
-                         "the parallel-scan variant or TermCons")
+    if (termcons or eqcons) and parallel:
+        raise ValueError("TermCons / stage equalities (H_eq) are not "
+                         "supported with the parallel-scan Riccati variant; "
+                         "use the sequential default")
 
     def _cost(xa, u, k, p):
         return p["_sf"] * s.cost(xa, u, k, p)
@@ -1214,7 +1302,17 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 pN_g = pN_cost - bgX_[N]
 
                 mu_h_new = st.mu_h
-                if termcons:
+                if termcons and eqcons:
+                    # bordered stages + terminal multiplier combined
+                    (solvable, Ks, kf, P_seq, p_seq, F_seq, xi_new, mu_seq,
+                     dX, dU) = _riccati_eqstage_tc(
+                        Hs, q, A, B, r_d, PN_h, pN_g, Cz, r_h, r_T,
+                        nxa=nxa, nu=nu, n_eq=n_eq, n_tc=n_tc)
+                    xi_new = jnp.where(solvable, xi_new, st.xi)
+                    mu_h_new = jnp.nan_to_num(mu_seq, nan=0.0,
+                                              posinf=0.0, neginf=0.0)
+                    mu_h_new = jnp.where(solvable, mu_h_new, st.mu_h)
+                elif termcons:
                     # constrained Riccati with terminal multiplier (no Pallas
                     # kernel for this rare configuration — plain vmapped scan)
                     solvable, Ks, kf, P_seq, p_seq, F_seq, xi_new, dX, dU = \

@@ -11,6 +11,16 @@ TPU ('axon') backend before conftest runs, so the env-var route
 
 import os
 
+# The remote-TPU ('axon') PJRT plugin registers itself in EVERY python
+# process via sitecustomize when PALLAS_AXON_POOL_IPS is set, and its
+# native client can abort the whole process when the tunnel is flaky —
+# observed as intermittent faulthandler crashes in pure-CPU tests.  The
+# suite never uses the remote chip, so drop the trigger variable here:
+# xdist workers (and any subprocess a test spawns) then start without the
+# plugin entirely.  (Too late for THIS interpreter — sitecustomize already
+# ran — but jax_platforms=cpu below keeps it off the dispatch path.)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

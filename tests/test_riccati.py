@@ -409,3 +409,58 @@ def test_mehrotra_matches_monotone():
     assert np.abs(np.asarray(r_meh.U) - np.asarray(r_mono.U)).max() < 1e-5
     assert abs(float(r_meh.f) - float(r_mono.f)) < 1e-8 * max(
         1.0, abs(float(r_mono.f)))
+
+
+def test_structured_heq_termcons_matches_dense():
+    # user stage equalities COMBINED with the terminal equality — the merged
+    # bordered-stage + terminal-multiplier recursion (_riccati_eqstage_tc)
+    # vs the dense oracle.  One equality row per stage (u2 pinned to a
+    # state-coupled line consistent with the steady state) leaves one
+    # control DOF per stage for the 3-row terminal constraint.
+    N = 12
+    cfg, model, f_obj, vfin = _setup(N)
+
+    def H_eq(x, u, y, d, t, px, py):
+        # control-allocation line, state-coupled, consistent with the
+        # steady pair (us, xs): both controls stay free to move, so the
+        # 3-row terminal equality remains reachable
+        return jnp.atleast_1d(u[0] + 50.0 * u[1] - 305.157
+                              - 0.1 * (x[1] - 325.0))
+
+    cfg = cfg.replace(TermCons=True, H_eq=H_eq)
+    from mpc_code_tpu.solver.riccati import structured_supported
+
+    assert structured_supported(cfg)
+    spec = build_ocp(cfg, model, f_obj, vfin)
+    dense = jax.jit(make_solver(spec.nlp, SolverOptions(max_iter=200)))
+    socp = build_structured_ocp(cfg, model, f_obj, vfin)
+    assert socp.n_tc == cfg.nx and socp.n_eq == 1
+    struct = jax.jit(make_structured_solver(socp, SolverOptions(max_iter=200)))
+
+    nx, nu = cfg.nx, cfg.nu
+    nxu = nx + nu
+    x0 = np.array([0.8, 327.0, 0.64])
+    par, us = _par(cfg, N, x0)
+    lbw = spec.lbw.copy()
+    ubw = spec.ubw.copy()
+    lbw[:nx] = ubw[:nx] = x0
+    w0 = np.zeros(spec.nw)
+    for k in range(N + 1):
+        w0[k * nxu : k * nxu + nx] = x0
+    for k in range(N):
+        w0[k * nxu + nx : (k + 1) * nxu] = us
+    rd = dense(jnp.asarray(w0), par, lbw, ubw, spec.lbg, spec.ubg)
+    rs = struct(par, jnp.tile(jnp.asarray(x0), (N + 1, 1)),
+                jnp.tile(jnp.asarray(us), (N, 1)))
+    assert int(rd.status) == 0 and int(rs.status) == 0
+    X_s = np.asarray(rs.X)
+    U_s = np.asarray(rs.U)
+    # terminal equality x_N = xs and the stage equalities hold
+    xs = np.array([0.874317, 325.0, 0.6528])
+    assert np.abs(X_s[N, :nx] - xs).max() < 1e-7
+    assert np.abs(U_s[:, 0] + 50.0 * U_s[:, 1] - 305.157
+                  - 0.1 * (X_s[:N, 1] - 325.0)).max() < 1e-7
+    wd = np.asarray(rd.w)
+    Ud = np.array([wd[k * nxu + nx : (k + 1) * nxu] for k in range(N)])
+    assert np.abs(Ud - U_s).max() < 5e-4
+    assert abs(float(rd.f) - float(rs.f)) < 1e-5 * max(1.0, abs(float(rd.f)))
