@@ -98,3 +98,102 @@ def rk4_quad(f: Callable, q: Callable, Mx: int) -> Callable:
         return xf, qf
 
     return step
+
+
+def rk4_stage_jac(f: Callable, Mx: int):
+    """Stage-sweep RK4 rollout WITH first-order Jacobians, batch-friendly.
+
+    Returns ``F(xs, us, pxs, t, h, d) -> (xf (N,nx), Jx (N,nx,nx),
+    Ju (N,nx,nu))`` for ``x' = f(x, t, u, d, px)`` integrated over one
+    sampling interval per stage (N independent stage points, Mx sub-steps
+    each) — the IPM derivative sweep's dominant term.
+
+    Unbatched (host loop): vmap-over-stages of jacfwd, the plain path.
+
+    Under ``vmap`` (the batched solver): a ``custom_vmap`` rule lays the
+    flattened (B*N) scenario-stage axis out as the MINOR dimension and
+    propagates the nx+nu tangent directions with ``jax.linearize`` (one
+    primal linearization per sub-step, nz cheap linear applications).
+    Rationale, measured on TPU v5e at the bench point: the batch-major
+    jacfwd sweep costs ~35x the primal rollout (tiny stride-nx slices of
+    (B,N,nx) arrays retile on every elementwise op), while lanes-minor
+    layout makes every ``x[0]``-style access a contiguous row of
+    (8,128)-tiles.  The user ODE must be shape-polymorphic in the sense
+    that ``x`` may arrive as (nx,) or (nx, L) with elementwise/indexing/
+    matvec ops — true for every reference model form.
+    """
+    from jax.custom_batching import custom_vmap
+
+    def _substep(xv, uv, tv, dt, d, px):
+        k1 = f(xv, tv, uv, d, px)
+        k2 = f(xv + dt / 2 * k1, tv + dt / 2, uv, d, px)
+        k3 = f(xv + dt / 2 * k2, tv + dt / 2, uv, d, px)
+        k4 = f(xv + dt * k3, tv + dt, uv, d, px)
+        return xv + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    def _one_jac(x, u, px, t, h, d):
+        nx = x.shape[0]
+        z = jnp.concatenate([x, u])
+
+        def roll(zz):
+            xf = zz[:nx]
+            dt = h / Mx
+            tv = t
+            for _ in range(Mx):
+                xf = _substep(xf, zz[nx:], tv, dt, d, px)
+                tv = tv + dt
+            return xf, xf
+
+        J, xf = jax.jacfwd(roll, has_aux=True)(z)
+        return xf, J[:, :nx], J[:, nx:]
+
+    @custom_vmap
+    def stage_jac(xs, us, pxs, t, h, d):
+        return jax.vmap(_one_jac, in_axes=(0, 0, 0, None, None, None))(
+            xs, us, pxs, t, h, d)
+
+    @stage_jac.def_vmap
+    def _rule(axis_size, in_batched, xs, us, pxs, t, h, d):
+        args = [xs, us, pxs, t, h, d]
+        args = [jnp.broadcast_to(a, (axis_size,) + jnp.shape(a)) if not b else a
+                for a, b in zip(args, in_batched)]
+        xs, us, pxs, t, h, d = args
+        Bsz, N, nx = xs.shape
+        nu = us.shape[-1]
+        L = Bsz * N
+
+        def pack(a):
+            # (B, N, dim) -> (dim, B*N): scenario-stage on the minor axis
+            return jnp.moveaxis(a.reshape(L, -1), 0, -1)
+
+        xT = pack(xs)
+        uT = pack(us)
+        pxT = pack(pxs)
+        dT = jnp.repeat(jnp.moveaxis(d, 0, -1), N, axis=-1)   # (nd, B*N)
+        tT = jnp.repeat(t.reshape(Bsz), N)                    # (B*N,)
+        hT = jnp.repeat(h.reshape(Bsz), N)
+        dt = hT / Mx
+
+        def sub_l(xv, uv, tv):
+            return _substep(xv, uv, tv, dt, dT, pxT)
+
+        nz = nx + nu
+        eye = jnp.eye(nz, dtype=xs.dtype)
+        tx = [jnp.broadcast_to(eye[i, :nx, None], (nx, L)) for i in range(nz)]
+        tu = [jnp.broadcast_to(eye[i, nx:, None], (nu, L)) for i in range(nz)]
+
+        xv, tv = xT, tT
+        for _ in range(Mx):
+            xv, f_lin = jax.linearize(lambda xx, uu: sub_l(xx, uu, tv), xv, uT)
+            tx = [f_lin(tx[i], tu[i]) for i in range(nz)]
+            tv = tv + dt
+
+        def unpack(a, shape):
+            return jnp.moveaxis(a, -1, 0).reshape((Bsz, N) + shape)
+
+        xf = unpack(xv, (nx,))
+        Jcols = jnp.stack(tx, axis=1)          # (nx, nz, L)
+        J = unpack(Jcols.reshape(nx * nz, L), (nx, nz))
+        return (xf, J[..., :nx], J[..., nx:]), (True, True, True)
+
+    return stage_jac

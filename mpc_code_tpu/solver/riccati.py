@@ -15,12 +15,13 @@ iteration, but with
 - batched (N, nz, nz) tensor shapes that map onto the MXU when `vmap`ped
   over scenario lanes.
 
-Scope: multiple-shooting OCPs without ContForm/collocation/terminal
-equality/user g-h (the bench and most closed-loop workloads).  Delta-u
-bounds are supported via state augmentation with u_{k-1}; shared soft-
-constraint slacks via a constant-slack augmentation (decided at stage 0,
-carried as extra states).  The generic dense solver remains the fallback
-for everything else, and is the correctness oracle in tests.
+Scope: every reference OCP form (see `structured_supported`): ContForm
+quadrature stages, Gauss-Legendre collocation via exact stage
+condensation, terminal equality (TermCons), user stage g/h rows, shared
+soft-constraint slacks via a constant-slack augmentation (decided at
+stage 0, carried as extra states), and Delta-u bounds via state
+augmentation with u_{k-1}.  The generic dense solver handles the target
+and MHE NLPs and is the correctness oracle in tests.
 
 Reference context: replaces IPOPT+MUMPS sparse LU on the OCP NLP
 (Control_Calc.py:258) with dense block factorizations — better than sparse
@@ -29,6 +30,7 @@ LU for small-stage OCPs and TPU-friendly (SURVEY.md §2.2 native table).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, NamedTuple, Optional
 
@@ -37,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from mpc_code_tpu.config import MPCConfig, SolverOptions
+from mpc_code_tpu.config import ContinuousModel, MPCConfig, SolverOptions
 from mpc_code_tpu.models.model import ModelFns
 from mpc_code_tpu.solver.nlp import (
     STATUS_ACCEPTABLE,
@@ -105,6 +107,10 @@ class StructuredOCP:
     tc_target: Optional[Callable] = None  # p -> scaled target for x_N[:n_tc]
     n_eq: int = 0               # user stage-equality rows (H_eq)
     eq: Optional[Callable] = None  # (xa, u, k, p) -> (n_eq,) scaled h rows
+    # fast batched dynamics sweep (continuous-shooting configs):
+    # (X (N,nxa), U (N,nu), p) -> (dval, A, B) in scaled units, lane-packed
+    # under vmap (see ops/integrators.rk4_stage_jac)
+    stage_dyn_jac: Optional[Callable] = None
 
 
 class StructResult(NamedTuple):
@@ -511,6 +517,78 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
     else:
         tc_target = None
 
+    # --- fast batched dynamics sweep (value + Jacobians for all N stages
+    # in one lane-packed pass) for plain-shooting continuous models — the
+    # configuration of every throughput-critical workload.  The augmented
+    # rows (u_prev carry, shared-slack carry) have constant Jacobian
+    # structure assembled here; only the RK4 rollout itself needs AD.
+    stage_dyn_jac = None
+    if ((not colloc) and (not cont_form)
+            and isinstance(cfg.model, ContinuousModel)
+            and os.environ.get("MPC_TPU_FAST_SWEEP", "1") == "1"):
+        from mpc_code_tpu.ops.integrators import rk4_stage_jac
+
+        m = cfg.model
+        _ufx = m.fx
+        if m.clip_lo is not None or m.clip_hi is not None:
+            _lo = (jnp.asarray(m.clip_lo, dtype=float)
+                   if m.clip_lo is not None else -jnp.inf)
+            _hi = (jnp.asarray(m.clip_hi, dtype=float)
+                   if m.clip_hi is not None else jnp.inf)
+
+            def _ode(xx, tt, uu, dd, pp):
+                # per-dim clip bounds must broadcast in the lanes-minor
+                # (nx, L) layout too
+                lo_b = _lo[:, None] if (jnp.ndim(_lo) and jnp.ndim(xx) == 2) else _lo
+                hi_b = _hi[:, None] if (jnp.ndim(_hi) and jnp.ndim(xx) == 2) else _hi
+                return _ufx(jnp.clip(xx, lo_b, hi_b), uu, dd, tt, pp)
+        else:
+            def _ode(xx, tt, uu, dd, pp):
+                return _ufx(xx, uu, dd, tt, pp)
+
+        _sj = rk4_stage_jac(_ode, getattr(m, "Mx", 10))
+        _Bd_j = (jnp.asarray(np.asarray(cfg.dist.Bd, float))
+                 if (cfg.dist.offree == "lin" and cfg.dist.Bd is not None)
+                 else None)
+        _lin_par = cfg.LinPar
+        _h = cfg.h
+        _Nh = cfg.N
+
+        def stage_dyn_jac(Xs, Us, p):
+            dtype = Xs.dtype
+            xa = Xs * sxa_j
+            uu = Us * su_j
+            x = xa[:, :nx]
+            u_real = uu[:, :nu]
+            t = jnp.asarray(p["t"], dtype=dtype)
+            h_ = jnp.asarray(_h, dtype=dtype)
+            xf, Jx, Ju = _sj(x, u_real, p["px"], t, h_, p["d"])
+            if _Bd_j is not None:
+                xf = xf + _Bd_j.astype(dtype) @ p["d"]
+            if _lin_par:
+                xf = xf + p["px"]
+            parts = [xf]
+            if du_coupled:
+                parts.append(u_real)
+            if slacks:
+                k_is0 = (jnp.arange(_Nh) == 0)[:, None]
+                parts.append(jnp.where(k_is0, uu[:, nu:], xa[:, nx + nup:]))
+            dval_u = jnp.concatenate(parts, axis=1) if len(parts) > 1 else xf
+            A = jnp.zeros((_Nh, nxa, nxa), dtype).at[:, :nx, :nx].set(Jx)
+            Bm = jnp.zeros((_Nh, nxa, nu_eff), dtype).at[:, :nx, :nu].set(Ju)
+            if du_coupled:
+                Bm = Bm.at[:, nx:nx + nu, :nu].set(jnp.eye(nu, dtype=dtype))
+            if slacks:
+                r0 = nx + nup
+                eye_s = jnp.eye(ns, dtype=dtype)
+                k_is0 = (jnp.arange(_Nh) == 0)[:, None, None]
+                A = A.at[:, r0:, r0:].set(jnp.where(k_is0, 0.0, eye_s))
+                Bm = Bm.at[:, r0:, nu:].set(jnp.where(k_is0, eye_s, 0.0))
+            dval_s = dval_u / sxa_j
+            A_s = A * (sxa_j[None, None, :] / sxa_j[None, :, None])
+            B_s = Bm * (su_j[None, None, :] / sxa_j[None, :, None])
+            return dval_s, A_s, B_s
+
     return StructuredOCP(N=cfg.N, nxa=nxa, nu=nu_eff, ni=ni, dyn=dyn_s, cost=cost_s,
                          cost_N=cost_N_s, ineq=ineq_s,
                          lbi=lbi / si, ubi=ubi / si,
@@ -518,7 +596,7 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
                          lbu=lbu / su, ubu=ubu / su,
                          x0_of_p=x0_s, sxa=sxa, su=su, si=si,
                          ns=ns, nu_ctrl=nu, n_tc=n_tc, tc_target=tc_target,
-                         n_eq=nh_user, eq=eq_s)
+                         n_eq=nh_user, eq=eq_s, stage_dyn_jac=stage_dyn_jac)
 
 
 def _riccati_eqstage(Hs, q, A, B, rd, PN, pN, Cz, hv, *, nxa, nu, n_eq):
@@ -766,15 +844,23 @@ def _riccati_eqstage_tc(Hs, q, A, B, rd, PN, pN, Cz, hv, rT, *,
     return ok, Ks, kf, P_seq, p_seq, F_seq, xi, mu_seq, dX, dU
 
 
-def make_stage_derivs(s: StructuredOCP, hessian: str = "exact") -> Callable:
+def make_stage_derivs(s: StructuredOCP, hessian: str = "exact",
+                      skip_dyn: bool = False) -> Callable:
     """Per-stage derivative sweep `(xa, u, k, p, lam_k, nu_k) -> (H, gc, A,
     B, E, ival, Cz, hval, dval)` — the IPM's phase-1 work (cost Hessian/
     gradient, dynamics and inequality Jacobians, plus the primal dynamics/
     constraint values jacfwd evaluates anyway, returned so the solver body
-    assembles residuals without a second rollout).  Exposed at module level so the per-phase
-    profiler (`tools/profile_phases.py`) times exactly what the solver
-    runs.  `p["_sf"]` is the objective scaling factor (1.0 if unscaled).
+    assembles residuals without a second rollout).  With ``skip_dyn=True``
+    (requires ``hessian='gauss_newton'``) the dynamics value/Jacobian are
+    omitted — the caller gets them from ``s.stage_dyn_jac`` — and the
+    return is the 6-tuple `(H, gc, E, ival, Cz, hval)`.  Exposed at module
+    level so the per-phase profiler (`tools/profile_phases.py`) times
+    exactly what the solver runs.  `p["_sf"]` is the objective scaling
+    factor (1.0 if unscaled).
     """
+    if skip_dyn and hessian != "gauss_newton":
+        raise ValueError("skip_dyn requires hessian='gauss_newton' (the "
+                         "exact Lagrangian Hessian traverses the dynamics)")
     nxa, nu, ni = s.nxa, s.nu, s.ni
     n_eq = s.n_eq
     nz = nxa + nu
@@ -810,15 +896,17 @@ def make_stage_derivs(s: StructuredOCP, hessian: str = "exact") -> Callable:
 
         gc = jax.grad(c_of_z)(z)
 
-        # one jacfwd over the stacked z=[x;u] with the primal value returned
-        # as aux: the dynamics value feeds the defect residual r_d directly,
-        # so the solver body never re-rolls the dynamics at the iterate
-        def dyn_aux(zz):
-            v = s.dyn(zz[:nxa], zz[nxa:], k, p)
-            return v, v
+        if not skip_dyn:
+            # one jacfwd over the stacked z=[x;u] with the primal value
+            # returned as aux: the dynamics value feeds the defect residual
+            # r_d directly, so the solver body never re-rolls the dynamics
+            # at the iterate
+            def dyn_aux(zz):
+                v = s.dyn(zz[:nxa], zz[nxa:], k, p)
+                return v, v
 
-        Jd, dval = jax.jacfwd(dyn_aux, has_aux=True)(z)
-        Ad, Bd = Jd[:, :nxa], Jd[:, nxa:]
+            Jd, dval = jax.jacfwd(dyn_aux, has_aux=True)(z)
+            Ad, Bd = Jd[:, :nxa], Jd[:, nxa:]
         if ni:
             def ineq_aux(zz):
                 v = s.ineq(zz[:nxa], zz[nxa:], k, p)
@@ -837,6 +925,8 @@ def make_stage_derivs(s: StructuredOCP, hessian: str = "exact") -> Callable:
         else:
             Cz = jnp.zeros((0, nz))
             hval = jnp.zeros(0)
+        if skip_dyn:
+            return H, gc, E, ival, Cz, hval
         return H, gc, Ad, Bd, E, ival, Cz, hval, dval
 
     return stage_derivs
@@ -912,7 +1002,13 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
     def _cost_N(xa, p):
         return p["_sf"] * s.cost_N(xa, p)
 
-    stage_derivs = make_stage_derivs(s, opts.hessian)
+    # fast dynamics sweep: the RK4 value+Jacobian rollout for all stages in
+    # one lane-packed pass (continuous-shooting configs, Gauss-Newton
+    # Hessian — the throughput path); everything else keeps the generic
+    # vmapped jacfwd
+    fast_sweep = (s.stage_dyn_jac is not None
+                  and opts.hessian == "gauss_newton")
+    stage_derivs = make_stage_derivs(s, opts.hessian, skip_dyn=fast_sweep)
     v_stage = jax.vmap(stage_derivs, in_axes=(0, 0, 0, None, 0, 0, 0))
     ks = jnp.arange(N)
 
@@ -1046,8 +1142,13 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
 
         def body(st: _SState) -> _SState:
             X, U, S = st.X, st.U, st.S
-            H, gc, A, B, E, ival, Cz, hval, dval = v_stage(
-                X[:N], U, ks, p, st.lam, st.nus, st.mu_h)
+            if fast_sweep:
+                H, gc, E, ival, Cz, hval = v_stage(
+                    X[:N], U, ks, p, st.lam, st.nus, st.mu_h)
+                dval, A, B = s.stage_dyn_jac(X[:N], U, p)
+            else:
+                H, gc, A, B, E, ival, Cz, hval, dval = v_stage(
+                    X[:N], U, ks, p, st.lam, st.nus, st.mu_h)
             # residuals at the iterate, assembled from the sweep's primal
             # values (dval/ival/hval are the dynamics/inequality/equality
             # evaluations jacfwd already produced — no second rollout)

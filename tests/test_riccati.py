@@ -464,3 +464,69 @@ def test_structured_heq_termcons_matches_dense():
     Ud = np.array([wd[k * nxu + nx : (k + 1) * nxu] for k in range(N)])
     assert np.abs(Ud - U_s).max() < 5e-4
     assert abs(float(rd.f) - float(rs.f)) < 1e-5 * max(1.0, abs(float(rd.f)))
+
+
+def test_fast_dyn_sweep_matches_generic():
+    # the lane-packed rk4_stage_jac dynamics sweep (ops/integrators.py)
+    # vs the generic vmapped-jacfwd path, across the augmentation forms
+    # (plain, Delta-u carry, shared slacks) on the continuous CSTR
+    import dataclasses as dc
+    import os
+
+    from mpc_code_tpu.examples.nmpc import make_config
+
+    N = 10
+    base = make_config().replace(N=N, R_wn=None)
+    xs = np.array([0.874317, 325.0, 0.6528])
+    us = np.array([300.157, 0.1])
+    variants = {
+        "plain": base,
+        "du": base.replace(bounds=dc.replace(
+            base.bounds, Dumin=np.array([-0.5, -0.01]),
+            Dumax=np.array([0.5, 0.01]))),
+        "slacks": base.replace(
+            bounds=dc.replace(base.bounds,
+                              ymin=np.array([0.0, 280.0]),
+                              ymax=np.array([1.0, 340.0])),
+            slacks=True, Ws=10.0 * np.eye(4)),
+    }
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(rng.uniform([0.4, 320, 0.56], [0.9, 334, 0.67],
+                                  size=(5, 3)))
+    for name, cfg in variants.items():
+        model = build_model(cfg)
+        f_obj = build_stage_cost(cfg.stage_cost)
+        vfin = build_terminal_cost(cfg)
+        res = {}
+        for fast in (True, False):
+            os.environ["MPC_TPU_FAST_SWEEP"] = "1" if fast else "0"
+            socp = build_structured_ocp(cfg, model, f_obj, vfin)
+            assert (socp.stage_dyn_jac is not None) == fast, name
+            solve = make_structured_solver(
+                socp, SolverOptions(max_iter=80, tol=1e-8,
+                                    hessian="gauss_newton"))
+            nxa = socp.nxa
+
+            def lane(x0):
+                par = dict(x0=x0, xs=jnp.asarray(xs), us=jnp.asarray(us),
+                           d=jnp.asarray([0.0, 0.1]), um1=jnp.asarray(us),
+                           t=jnp.asarray(0.0),
+                           lam=jnp.zeros((cfg.ny, cfg.nu)),
+                           px=jnp.zeros((N, cfg.npx)),
+                           py=jnp.zeros((N, cfg.npy)))
+                xa0 = jnp.zeros(nxa).at[:3].set(x0)
+                X0 = jnp.tile(xa0[None], (N + 1, 1))
+                U0 = jnp.zeros((N, socp.nu)).at[:, :2].set(jnp.asarray(us))
+                return solve(par, X0, U0)
+
+            res[fast] = jax.jit(jax.vmap(lane))(x0s)
+        os.environ.pop("MPC_TPU_FAST_SWEEP", None)
+        # the slacks variant floors at STATUS_ACCEPTABLE on some lanes at
+        # tol=1e-8; the point here is fast == generic, lane for lane
+        assert (np.asarray(res[True].status) != 2).all(), name
+        assert (np.asarray(res[True].status)
+                == np.asarray(res[False].status)).all(), name
+        assert (np.asarray(res[True].iters)
+                == np.asarray(res[False].iters)).all(), name
+        assert np.abs(np.asarray(res[True].U)
+                      - np.asarray(res[False].U)).max() < 1e-10, name
