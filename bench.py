@@ -238,7 +238,7 @@ def _main_with_retry():
     # up to BENCH_RETRIES times so the driver's single invocation still
     # lands a number.
     tries = int(os.environ.get("_BENCH_TRY", "0"))
-    max_tries = int(os.environ.get("BENCH_RETRIES", "3"))
+    max_tries = int(os.environ.get("BENCH_RETRIES", "6"))
     try:
         main()
     except Exception as e:  # backend init / remote-compile failures
@@ -246,7 +246,9 @@ def _main_with_retry():
               file=sys.stderr)
         if tries + 1 >= max_tries:
             raise
-        time.sleep(30)
+        # the tunnel's bad patches last minutes, not seconds — back off
+        # progressively (30s, 90s, 150s, ...)
+        time.sleep(30 + 60 * tries)
         env = dict(os.environ)
         env["_BENCH_TRY"] = str(tries + 1)
         os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)

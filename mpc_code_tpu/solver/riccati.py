@@ -1183,33 +1183,49 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             ru = gu_full - (st.zlu - st.zuu)
             rs = -st.nus - (st.zls - st.zus) if ni else jnp.zeros((N, 0), dtype=dtype)
 
-            def comp(z, zl, zu, lb, ub, hl, hu, mu_v):
-                cl = jnp.where(hl, (z - lb) * zl - mu_v, 0.0)
-                cu = jnp.where(hu, (ub - z) * zu - mu_v, 0.0)
-                return jnp.maximum(jnp.max(jnp.abs(cl), initial=0.0),
-                                   jnp.max(jnp.abs(cu), initial=0.0))
+            # complementarity products' global min/max over all held bound
+            # pairs: e_comp(mu) = max|c - mu| = max(cmax - mu, mu - cmin, 0),
+            # so evaluating the KKT error at mu AND at 0 costs the array
+            # reductions only once
+            _inf = jnp.asarray(jnp.inf, dtype=dtype)
+
+            def comp_mm(z, zl, zu, lb, ub, hl, hu):
+                cl = (z - lb) * zl
+                cu = (ub - z) * zu
+                cmx = jnp.maximum(
+                    jnp.max(jnp.where(hl, cl, -_inf), initial=-jnp.inf),
+                    jnp.max(jnp.where(hu, cu, -_inf), initial=-jnp.inf))
+                cmn = jnp.minimum(
+                    jnp.min(jnp.where(hl, cl, _inf), initial=jnp.inf),
+                    jnp.min(jnp.where(hu, cu, _inf), initial=jnp.inf))
+                return cmx, cmn
+
+            cmx_x, cmn_x = comp_mm(X[1:], st.zlx[1:], st.zux[1:], lbx, ubx, hlx, hux)
+            cmx_u, cmn_u = comp_mm(U, st.zlu, st.zuu, lbu, ubu, hlu, huu)
+            if ni:
+                cmx_s, cmn_s = comp_mm(S, st.zls, st.zus, lbi, ubi, hli, hui)
+            else:
+                cmx_s, cmn_s = -_inf, _inf
+            cmax_all = jnp.maximum(cmx_x, jnp.maximum(cmx_u, cmx_s))
+            cmin_all = jnp.minimum(cmn_x, jnp.minimum(cmn_u, cmn_s))
+
+            e_stat = jnp.maximum(jnp.max(jnp.abs(rx), initial=0.0),
+                                 jnp.maximum(jnp.max(jnp.abs(ru), initial=0.0),
+                                             jnp.max(jnp.abs(rs), initial=0.0)))
+            e_feas = jnp.maximum(jnp.max(jnp.abs(r_d), initial=0.0),
+                                 jnp.max(jnp.abs(r_i), initial=0.0))
+            if termcons:
+                e_feas = jnp.maximum(e_feas, jnp.max(jnp.abs(r_T), initial=0.0))
+            if eqcons:
+                e_feas = jnp.maximum(e_feas, jnp.max(jnp.abs(r_h), initial=0.0))
+            scale = jnp.maximum(100.0, (jnp.sum(jnp.abs(st.lam)) + jnp.sum(jnp.abs(st.nus))
+                                        + jnp.sum(st.zlx + st.zux) + jnp.sum(st.zlu + st.zuu)
+                                        + jnp.sum(st.zls + st.zus))
+                                / (N * (nz + ni) + nxa + 1.0)) / 100.0
 
             def kkt_at(mu_v):
-                e_stat = jnp.maximum(jnp.max(jnp.abs(rx), initial=0.0),
-                                     jnp.maximum(jnp.max(jnp.abs(ru), initial=0.0),
-                                                 jnp.max(jnp.abs(rs), initial=0.0)))
-                e_feas = jnp.maximum(jnp.max(jnp.abs(r_d), initial=0.0),
-                                     jnp.max(jnp.abs(r_i), initial=0.0))
-                if termcons:
-                    e_feas = jnp.maximum(e_feas,
-                                         jnp.max(jnp.abs(r_T), initial=0.0))
-                if eqcons:
-                    e_feas = jnp.maximum(e_feas,
-                                         jnp.max(jnp.abs(r_h), initial=0.0))
                 e_comp = jnp.maximum(
-                    comp(X[1:], st.zlx[1:], st.zux[1:], lbx, ubx, hlx, hux, mu_v),
-                    jnp.maximum(comp(U, st.zlu, st.zuu, lbu, ubu, hlu, huu, mu_v),
-                                comp(S, st.zls, st.zus, lbi, ubi, hli, hui, mu_v)
-                                if ni else 0.0))
-                scale = jnp.maximum(100.0, (jnp.sum(jnp.abs(st.lam)) + jnp.sum(jnp.abs(st.nus))
-                                            + jnp.sum(st.zlx + st.zux) + jnp.sum(st.zlu + st.zuu)
-                                            + jnp.sum(st.zls + st.zus))
-                                    / (N * (nz + ni) + nxa + 1.0)) / 100.0
+                    jnp.maximum(cmax_all - mu_v, mu_v - cmin_all), 0.0)
                 return jnp.maximum(e_stat / scale, jnp.maximum(e_feas, e_comp / scale)), e_feas
 
             e_mu, _ = kkt_at(st.mu)
