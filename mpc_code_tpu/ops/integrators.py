@@ -197,3 +197,67 @@ def rk4_stage_jac(f: Callable, Mx: int):
         return (xf, J[..., :nx], J[..., nx:]), (True, True, True)
 
     return stage_jac
+
+
+def map_stage_jac(f: Callable):
+    """Discrete-map analog of `rk4_stage_jac`.
+
+    ``F(xs, us, pxs, t, d) -> (xf (N,nx), Jx, Ju)`` for a one-step map
+    ``x_next = f(x, u, d, t, px)`` (the NL-discrete model form,
+    Utilities.py:186-198) evaluated at N independent stage points.
+    Unbatched: vmap of jacfwd.  Under vmap: lanes-minor layout, one
+    `jax.linearize` + nx+nu tangent applications — same rationale as
+    `rk4_stage_jac` (hand-rolled integrators inside user maps, e.g. the
+    quadruple tank's internal RK4, hit the identical batch-major layout
+    pathology).
+    """
+    from jax.custom_batching import custom_vmap
+
+    def _one_jac(x, u, px, t, d):
+        nx = x.shape[0]
+        z = jnp.concatenate([x, u])
+
+        def g(zz):
+            v = f(zz[:nx], zz[nx:], d, t, px)
+            return v, v
+
+        J, xf = jax.jacfwd(g, has_aux=True)(z)
+        return xf, J[:, :nx], J[:, nx:]
+
+    @custom_vmap
+    def stage_jac(xs, us, pxs, t, d):
+        return jax.vmap(_one_jac, in_axes=(0, 0, 0, None, None))(
+            xs, us, pxs, t, d)
+
+    @stage_jac.def_vmap
+    def _rule(axis_size, in_batched, xs, us, pxs, t, d):
+        args = [xs, us, pxs, t, d]
+        args = [jnp.broadcast_to(a, (axis_size,) + jnp.shape(a)) if not b else a
+                for a, b in zip(args, in_batched)]
+        xs, us, pxs, t, d = args
+        Bsz, N, nx = xs.shape
+        nu = us.shape[-1]
+        L = Bsz * N
+
+        def pack(a):
+            return jnp.moveaxis(a.reshape(L, -1), 0, -1)
+
+        xT, uT, pxT = pack(xs), pack(us), pack(pxs)
+        dT = jnp.repeat(jnp.moveaxis(d, 0, -1), N, axis=-1)
+        tT = jnp.repeat(t.reshape(Bsz), N)
+
+        nz = nx + nu
+        eye = jnp.eye(nz, dtype=xs.dtype)
+        xv, f_lin = jax.linearize(lambda xx, uu: f(xx, uu, dT, tT, pxT), xT, uT)
+        cols = [f_lin(jnp.broadcast_to(eye[i, :nx, None], (nx, L)),
+                      jnp.broadcast_to(eye[i, nx:, None], (nu, L)))
+                for i in range(nz)]
+
+        def unpack(a, shape):
+            return jnp.moveaxis(a, -1, 0).reshape((Bsz, N) + shape)
+
+        xf = unpack(xv, (nx,))
+        J = unpack(jnp.stack(cols, axis=1).reshape(nx * nz, L), (nx, nz))
+        return (xf, J[..., :nx], J[..., nx:]), (True, True, True)
+
+    return stage_jac

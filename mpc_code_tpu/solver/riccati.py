@@ -39,7 +39,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from mpc_code_tpu.config import ContinuousModel, MPCConfig, SolverOptions
+from mpc_code_tpu.config import (
+    ContinuousModel, DiscreteModel, MPCConfig, SolverOptions,
+)
 from mpc_code_tpu.models.model import ModelFns
 from mpc_code_tpu.solver.nlp import (
     STATUS_ACCEPTABLE,
@@ -524,29 +526,34 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
     # structure assembled here; only the RK4 rollout itself needs AD.
     stage_dyn_jac = None
     if ((not colloc) and (not cont_form)
-            and isinstance(cfg.model, ContinuousModel)
+            and isinstance(cfg.model, (ContinuousModel, DiscreteModel))
             and os.environ.get("MPC_TPU_FAST_SWEEP", "1") == "1"):
-        from mpc_code_tpu.ops.integrators import rk4_stage_jac
+        from mpc_code_tpu.ops.integrators import map_stage_jac, rk4_stage_jac
 
         m = cfg.model
-        _ufx = m.fx
-        if m.clip_lo is not None or m.clip_hi is not None:
-            _lo = (jnp.asarray(m.clip_lo, dtype=float)
-                   if m.clip_lo is not None else -jnp.inf)
-            _hi = (jnp.asarray(m.clip_hi, dtype=float)
-                   if m.clip_hi is not None else jnp.inf)
+        if isinstance(m, ContinuousModel):
+            _ufx = m.fx
+            if m.clip_lo is not None or m.clip_hi is not None:
+                _lo = (jnp.asarray(m.clip_lo, dtype=float)
+                       if m.clip_lo is not None else -jnp.inf)
+                _hi = (jnp.asarray(m.clip_hi, dtype=float)
+                       if m.clip_hi is not None else jnp.inf)
 
-            def _ode(xx, tt, uu, dd, pp):
-                # per-dim clip bounds must broadcast in the lanes-minor
-                # (nx, L) layout too
-                lo_b = _lo[:, None] if (jnp.ndim(_lo) and jnp.ndim(xx) == 2) else _lo
-                hi_b = _hi[:, None] if (jnp.ndim(_hi) and jnp.ndim(xx) == 2) else _hi
-                return _ufx(jnp.clip(xx, lo_b, hi_b), uu, dd, tt, pp)
+                def _ode(xx, tt, uu, dd, pp):
+                    # per-dim clip bounds must broadcast in the lanes-minor
+                    # (nx, L) layout too
+                    lo_b = _lo[:, None] if (jnp.ndim(_lo) and jnp.ndim(xx) == 2) else _lo
+                    hi_b = _hi[:, None] if (jnp.ndim(_hi) and jnp.ndim(xx) == 2) else _hi
+                    return _ufx(jnp.clip(xx, lo_b, hi_b), uu, dd, tt, pp)
+            else:
+                def _ode(xx, tt, uu, dd, pp):
+                    return _ufx(xx, uu, dd, tt, pp)
+
+            _sj_cont = rk4_stage_jac(_ode, getattr(m, "Mx", 10))
+            _sj_disc = None
         else:
-            def _ode(xx, tt, uu, dd, pp):
-                return _ufx(xx, uu, dd, tt, pp)
-
-        _sj = rk4_stage_jac(_ode, getattr(m, "Mx", 10))
+            _sj_cont = None
+            _sj_disc = map_stage_jac(m.Fx)
         _Bd_j = (jnp.asarray(np.asarray(cfg.dist.Bd, float))
                  if (cfg.dist.offree == "lin" and cfg.dist.Bd is not None)
                  else None)
@@ -561,8 +568,11 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
             x = xa[:, :nx]
             u_real = uu[:, :nu]
             t = jnp.asarray(p["t"], dtype=dtype)
-            h_ = jnp.asarray(_h, dtype=dtype)
-            xf, Jx, Ju = _sj(x, u_real, p["px"], t, h_, p["d"])
+            if _sj_cont is not None:
+                h_ = jnp.asarray(_h, dtype=dtype)
+                xf, Jx, Ju = _sj_cont(x, u_real, p["px"], t, h_, p["d"])
+            else:
+                xf, Jx, Ju = _sj_disc(x, u_real, p["px"], t, p["d"])
             if _Bd_j is not None:
                 xf = xf + _Bd_j.astype(dtype) @ p["d"]
             if _lin_par:

@@ -494,39 +494,63 @@ def test_fast_dyn_sweep_matches_generic():
     x0s = jnp.asarray(rng.uniform([0.4, 320, 0.56], [0.9, 334, 0.67],
                                   size=(5, 3)))
     for name, cfg in variants.items():
-        model = build_model(cfg)
-        f_obj = build_stage_cost(cfg.stage_cost)
-        vfin = build_terminal_cost(cfg)
-        res = {}
-        for fast in (True, False):
-            os.environ["MPC_TPU_FAST_SWEEP"] = "1" if fast else "0"
-            socp = build_structured_ocp(cfg, model, f_obj, vfin)
-            assert (socp.stage_dyn_jac is not None) == fast, name
-            solve = make_structured_solver(
-                socp, SolverOptions(max_iter=80, tol=1e-8,
-                                    hessian="gauss_newton"))
-            nxa = socp.nxa
+        _check_fast_vs_generic(cfg, name, x0s, xs, us, N,
+                               d=np.array([0.0, 0.1]))
 
-            def lane(x0):
-                par = dict(x0=x0, xs=jnp.asarray(xs), us=jnp.asarray(us),
-                           d=jnp.asarray([0.0, 0.1]), um1=jnp.asarray(us),
-                           t=jnp.asarray(0.0),
-                           lam=jnp.zeros((cfg.ny, cfg.nu)),
-                           px=jnp.zeros((N, cfg.npx)),
-                           py=jnp.zeros((N, cfg.npy)))
-                xa0 = jnp.zeros(nxa).at[:3].set(x0)
-                X0 = jnp.tile(xa0[None], (N + 1, 1))
-                U0 = jnp.zeros((N, socp.nu)).at[:, :2].set(jnp.asarray(us))
-                return solve(par, X0, U0)
+    # discrete map (map_stage_jac): the quadruple tank with its hand-rolled
+    # internal RK4 (Ex_NMPC_dis.py:94-128)
+    from mpc_code_tpu.examples.nmpc_dis import make_config as mk_dis
 
-            res[fast] = jax.jit(jax.vmap(lane))(x0s)
-        os.environ.pop("MPC_TPU_FAST_SWEEP", None)
-        # the slacks variant floors at STATUS_ACCEPTABLE on some lanes at
-        # tol=1e-8; the point here is fast == generic, lane for lane
-        assert (np.asarray(res[True].status) != 2).all(), name
-        assert (np.asarray(res[True].status)
-                == np.asarray(res[False].status)).all(), name
-        assert (np.asarray(res[True].iters)
-                == np.asarray(res[False].iters)).all(), name
-        assert np.abs(np.asarray(res[True].U)
-                      - np.asarray(res[False].U)).max() < 1e-10, name
+    cfg_d = mk_dis().replace(N=8)
+    cfg_d = cfg_d.replace(bounds=dc.replace(cfg_d.bounds, Dumin=None,
+                                            Dumax=None))
+    xs_d = np.array([39.5185, 38.1743, 11.9996, 12.1883, 2.0, 2.0])
+    us_d = np.array([39.5185, 38.1743])
+    rng_d = np.random.default_rng(7)
+    x0s_d = jnp.asarray(
+        xs_d + rng_d.uniform(-0.5, 0.5, size=(4, 6)) * np.array(
+            [2.0, 2.0, 1.0, 1.0, 0.2, 0.2]))
+    _check_fast_vs_generic(cfg_d, "discrete", x0s_d, xs_d, us_d, 8,
+                           d=np.zeros(2))
+
+
+def _check_fast_vs_generic(cfg, name, x0s, xs, us, N, d):
+    import os
+
+    model = build_model(cfg)
+    f_obj = build_stage_cost(cfg.stage_cost)
+    vfin = build_terminal_cost(cfg)
+    nx, nu = cfg.nx, cfg.nu
+    res = {}
+    for fast in (True, False):
+        os.environ["MPC_TPU_FAST_SWEEP"] = "1" if fast else "0"
+        socp = build_structured_ocp(cfg, model, f_obj, vfin)
+        assert (socp.stage_dyn_jac is not None) == fast, name
+        solve = make_structured_solver(
+            socp, SolverOptions(max_iter=80, tol=1e-8,
+                                hessian="gauss_newton"))
+        nxa = socp.nxa
+
+        def lane(x0):
+            par = dict(x0=x0, xs=jnp.asarray(xs), us=jnp.asarray(us),
+                       d=jnp.asarray(d), um1=jnp.asarray(us),
+                       t=jnp.asarray(0.0),
+                       lam=jnp.zeros((cfg.ny, cfg.nu)),
+                       px=jnp.zeros((N, cfg.npx)),
+                       py=jnp.zeros((N, cfg.npy)))
+            xa0 = jnp.zeros(nxa).at[:nx].set(x0)
+            X0 = jnp.tile(xa0[None], (N + 1, 1))
+            U0 = jnp.zeros((N, socp.nu)).at[:, :nu].set(jnp.asarray(us))
+            return solve(par, X0, U0)
+
+        res[fast] = jax.jit(jax.vmap(lane))(x0s)
+    os.environ.pop("MPC_TPU_FAST_SWEEP", None)
+    # some variants floor at STATUS_ACCEPTABLE on some lanes at tol=1e-8;
+    # the point here is fast == generic, lane for lane
+    assert (np.asarray(res[True].status) != 2).all(), name
+    assert (np.asarray(res[True].status)
+            == np.asarray(res[False].status)).all(), name
+    assert (np.asarray(res[True].iters)
+            == np.asarray(res[False].iters)).all(), name
+    assert np.abs(np.asarray(res[True].U)
+                  - np.asarray(res[False].U)).max() < 1e-10, name
