@@ -261,3 +261,117 @@ def map_stage_jac(f: Callable):
         return (xf, J[..., :nx], J[..., nx:]), (True, True, True)
 
     return stage_jac
+
+
+def rk4_quad_stage_hess(f: Callable, q: Callable, Mx: int):
+    """ContForm stage sweep: dynamics value+Jacobians AND quadrature-cost
+    value/gradient/Hessian in one lane-packed pass.
+
+    ``F(xs, us, pxs, pys, t, h, d, x_ss, u_ss) -> (xf (N,nx), Jx, Ju,
+    qv (N,), gq (N,nx+nu), Hq (N,nz,nz))`` for the joint rollout
+    ``x' = f(x,t,u,d,px,xs,us,py)``, ``L' = q(...)`` over one sampling
+    interval per stage — the economic-MPC (Ex_ENMPC / ContForm)
+    transcription, where the IPM's stage cost Hessian traverses the same
+    RK4 rollout as the dynamics Jacobian (Control_Calc.py:102-111,153-158).
+
+    Unbatched: jacfwd + jax.hessian per stage (the generic path).
+    Under vmap: lanes-minor layout; first-order via one `jax.linearize`
+    (A/B columns and the cost gradient share tangents), second-order via
+    forward-over-reverse (jvp of the vjp-gradient, one pass per tangent
+    direction).  Per-lane independence makes a ones-cotangent vjp return
+    exact per-lane gradients.
+    """
+    from jax.custom_batching import custom_vmap
+
+    def _roll(x, u, t, h, d, px, py, x_ss, u_ss):
+        dt = h / Mx
+        acc = jnp.zeros(jnp.shape(t), jnp.result_type(x))
+        tv = t
+        for _ in range(Mx):
+            k1 = f(x, tv, u, d, px, x_ss, u_ss, py)
+            q1 = q(x, tv, u, d, px, x_ss, u_ss, py)
+            x2 = x + dt / 2 * k1
+            k2 = f(x2, tv + dt / 2, u, d, px, x_ss, u_ss, py)
+            q2 = q(x2, tv + dt / 2, u, d, px, x_ss, u_ss, py)
+            x3 = x + dt / 2 * k2
+            k3 = f(x3, tv + dt / 2, u, d, px, x_ss, u_ss, py)
+            q3 = q(x3, tv + dt / 2, u, d, px, x_ss, u_ss, py)
+            x4 = x + dt * k3
+            k4 = f(x4, tv + dt, u, d, px, x_ss, u_ss, py)
+            q4 = q(x4, tv + dt, u, d, px, x_ss, u_ss, py)
+            x = x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+            acc = acc + dt / 6 * (q1 + 2 * q2 + 2 * q3 + q4)
+            tv = tv + dt
+        return x, acc
+
+    def _one(xk, uk, pxk, pyk, t, h, d, x_ss, u_ss):
+        nx = xk.shape[0]
+        z = jnp.concatenate([xk, uk])
+
+        def roll_z(zz):
+            out = _roll(zz[:nx], zz[nx:], t, h, d, pxk, pyk, x_ss, u_ss)
+            return out, out
+
+        (Jf, gq), (xf, qv) = jax.jacfwd(roll_z, has_aux=True)(z)
+        Hq = jax.hessian(lambda zz: roll_z(zz)[0][1])(z)
+        return xf, Jf[:, :nx], Jf[:, nx:], qv, gq, Hq
+
+    @custom_vmap
+    def stage_sweep(xs, us, pxs, pys, t, h, d, x_ss, u_ss):
+        return jax.vmap(_one, in_axes=(0, 0, 0, 0) + (None,) * 5)(
+            xs, us, pxs, pys, t, h, d, x_ss, u_ss)
+
+    @stage_sweep.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [jnp.broadcast_to(a, (axis_size,) + jnp.shape(a)) if not b else a
+                for a, b in zip(args, in_batched)]
+        xs, us, pxs, pys, t, h, d, x_ss, u_ss = args
+        Bsz, N, nx = xs.shape
+        nu = us.shape[-1]
+        L = Bsz * N
+        nz = nx + nu
+
+        def pack_st(a):      # per-stage: (B, N, dim) -> (dim, B*N)
+            return jnp.moveaxis(a.reshape(L, -1), 0, -1)
+
+        def pack_sh(a):      # shared per scenario: (B, dim) -> (dim, B*N)
+            return jnp.repeat(jnp.moveaxis(a, 0, -1), N, axis=-1)
+
+        xT, uT, pxT, pyT = pack_st(xs), pack_st(us), pack_st(pxs), pack_st(pys)
+        dT, xsT, usT = pack_sh(d), pack_sh(x_ss), pack_sh(u_ss)
+        tT = jnp.repeat(t.reshape(Bsz), N)
+        hT = jnp.repeat(h.reshape(Bsz), N)
+
+        def roll_l(xv, uv):
+            return _roll(xv, uv, tT, hT, dT, pxT, pyT, xsT, usT)
+
+        eye = jnp.eye(nz, dtype=xs.dtype)
+        tx = [jnp.broadcast_to(eye[i, :nx, None], (nx, L)) for i in range(nz)]
+        tu = [jnp.broadcast_to(eye[i, nx:, None], (nu, L)) for i in range(nz)]
+
+        (xv, qv), f_lin = jax.linearize(roll_l, xT, uT)
+        tans = [f_lin(tx[i], tu[i]) for i in range(nz)]   # (dx_i, dq_i)
+
+        def grad_q(xv_, uv_):
+            out, vjp_fn = jax.vjp(roll_l, xv_, uv_)
+            gx, gu = vjp_fn((jnp.zeros_like(out[0]), jnp.ones_like(out[1])))
+            return gx, gu
+
+        hcols = []
+        for i in range(nz):
+            _, (hx, hu) = jax.jvp(grad_q, (xT, uT), (tx[i], tu[i]))
+            hcols.append(jnp.concatenate([hx, hu], axis=0))   # (nz, L)
+
+        def unpack(a, shape):
+            return jnp.moveaxis(a, -1, 0).reshape((Bsz, N) + shape)
+
+        xf = unpack(xv, (nx,))
+        qvo = unpack(qv[None], ())  # (L,) -> add axis for pack symmetry
+        J = unpack(jnp.stack([tans[i][0] for i in range(nz)], axis=1)
+                   .reshape(nx * nz, L), (nx, nz))
+        gq = unpack(jnp.stack([tans[i][1] for i in range(nz)], axis=0), (nz,))
+        Hq = unpack(jnp.stack(hcols, axis=1).reshape(nz * nz, L), (nz, nz))
+        Hq = 0.5 * (Hq + jnp.swapaxes(Hq, -1, -2))
+        return (xf, J[..., :nx], J[..., nx:], qvo, gq, Hq), (True,) * 6
+
+    return stage_sweep

@@ -113,6 +113,10 @@ class StructuredOCP:
     # (X (N,nxa), U (N,nu), p) -> (dval, A, B) in scaled units, lane-packed
     # under vmap (see ops/integrators.rk4_stage_jac)
     stage_dyn_jac: Optional[Callable] = None
+    # ContForm joint sweep: (X, U, p) -> (dval, A, B, qv, gq, Hq) — the
+    # quadrature cost's gradient/Hessian share the rollout with the
+    # dynamics Jacobians (see ops/integrators.rk4_quad_stage_hess)
+    stage_cf: Optional[Callable] = None
 
 
 class StructResult(NamedTuple):
@@ -599,6 +603,35 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
             B_s = Bm * (su_j[None, None, :] / sxa_j[None, :, None])
             return dval_s, A_s, B_s
 
+    # ContForm: joint rollout sweep — dynamics Jacobians and the quadrature
+    # cost's gradient/exact Hessian from the same lane-packed pass (the
+    # ENMPC/economic transcription's whole derivative cost lives in this
+    # rollout).  No augmentation here: ContForm forces du_coupled off, and
+    # the shared-slack augmentation keeps the generic path.
+    stage_cf = None
+    if (cont_form and not slacks
+            and os.environ.get("MPC_TPU_FAST_SWEEP", "1") == "1"):
+        from mpc_code_tpu.ops.integrators import rk4_quad_stage_hess
+
+        _sw_cf = rk4_quad_stage_hess(_ode, _quad, Mx_c)
+        _h_cf = cfg.h
+
+        def stage_cf(Xs, Us, p):
+            dtype = Xs.dtype
+            x = (Xs * sxa_j)[:, :nx]
+            u = (Us * su_j)[:, :nu]
+            t = jnp.asarray(p["t"], dtype=dtype)
+            h_ = jnp.asarray(_h_cf, dtype=dtype)
+            xf, Jx, Ju, qv, gq, Hq = _sw_cf(
+                x, u, p["px"], p["py"], t, h_, p["d"], p["xs"], p["us"])
+            dval = xf / sxa_j
+            A = Jx * (sxa_j[None, None, :] / sxa_j[None, :, None])
+            Bm = Ju * (su_j[None, None, :] / sxa_j[None, :, None])
+            sc = jnp.concatenate([sxa_j, su_j]).astype(dtype)
+            gq_s = gq * sc
+            Hq_s = Hq * (sc[None, :, None] * sc[None, None, :])
+            return dval, A, Bm, qv, gq_s, Hq_s
+
     return StructuredOCP(N=cfg.N, nxa=nxa, nu=nu_eff, ni=ni, dyn=dyn_s, cost=cost_s,
                          cost_N=cost_N_s, ineq=ineq_s,
                          lbi=lbi / si, ubi=ubi / si,
@@ -606,7 +639,8 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
                          lbu=lbu / su, ubu=ubu / su,
                          x0_of_p=x0_s, sxa=sxa, su=su, si=si,
                          ns=ns, nu_ctrl=nu, n_tc=n_tc, tc_target=tc_target,
-                         n_eq=nh_user, eq=eq_s, stage_dyn_jac=stage_dyn_jac)
+                         n_eq=nh_user, eq=eq_s, stage_dyn_jac=stage_dyn_jac,
+                         stage_cf=stage_cf)
 
 
 def _riccati_eqstage(Hs, q, A, B, rd, PN, pN, Cz, hv, *, nxa, nu, n_eq):
@@ -855,7 +889,8 @@ def _riccati_eqstage_tc(Hs, q, A, B, rd, PN, pN, Cz, hv, rT, *,
 
 
 def make_stage_derivs(s: StructuredOCP, hessian: str = "exact",
-                      skip_dyn: bool = False) -> Callable:
+                      skip_dyn: bool = False,
+                      skip_cost: bool = False) -> Callable:
     """Per-stage derivative sweep `(xa, u, k, p, lam_k, nu_k) -> (H, gc, A,
     B, E, ival, Cz, hval, dval)` — the IPM's phase-1 work (cost Hessian/
     gradient, dynamics and inequality Jacobians, plus the primal dynamics/
@@ -868,9 +903,13 @@ def make_stage_derivs(s: StructuredOCP, hessian: str = "exact",
     exactly what the solver runs.  `p["_sf"]` is the objective scaling
     factor (1.0 if unscaled).
     """
-    if skip_dyn and hessian != "gauss_newton":
-        raise ValueError("skip_dyn requires hessian='gauss_newton' (the "
-                         "exact Lagrangian Hessian traverses the dynamics)")
+    if (skip_dyn or skip_cost) and hessian != "gauss_newton":
+        raise ValueError("skip_dyn/skip_cost require hessian='gauss_newton' "
+                         "(the exact Lagrangian Hessian traverses the "
+                         "dynamics)")
+    if skip_cost and not skip_dyn:
+        raise ValueError("skip_cost implies skip_dyn (the ContForm joint "
+                         "sweep provides both)")
     nxa, nu, ni = s.nxa, s.nu, s.ni
     n_eq = s.n_eq
     nz = nxa + nu
@@ -893,7 +932,9 @@ def make_stage_derivs(s: StructuredOCP, hessian: str = "exact",
         def c_of_z(zz):
             return _cost(zz[:nxa], zz[nxa:], k, p)
 
-        if gauss_newton:
+        if skip_cost:
+            H = gc = None
+        elif gauss_newton:
             # cost curvature only — no Hessian traversal of the dynamics
             # rollout (reference analog: ipopt hessian_constant for QP costs)
             H = jax.hessian(c_of_z)(z)
@@ -904,7 +945,8 @@ def make_stage_derivs(s: StructuredOCP, hessian: str = "exact",
 
             H = jax.hessian(L_of_z)(z)
 
-        gc = jax.grad(c_of_z)(z)
+        if not skip_cost:
+            gc = jax.grad(c_of_z)(z)
 
         if not skip_dyn:
             # one jacfwd over the stacked z=[x;u] with the primal value
@@ -935,6 +977,8 @@ def make_stage_derivs(s: StructuredOCP, hessian: str = "exact",
         else:
             Cz = jnp.zeros((0, nz))
             hval = jnp.zeros(0)
+        if skip_cost:
+            return E, ival, Cz, hval
         if skip_dyn:
             return H, gc, E, ival, Cz, hval
         return H, gc, Ad, Bd, E, ival, Cz, hval, dval
@@ -1016,9 +1060,11 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
     # one lane-packed pass (continuous-shooting configs, Gauss-Newton
     # Hessian — the throughput path); everything else keeps the generic
     # vmapped jacfwd
+    fast_cf = (s.stage_cf is not None and opts.hessian == "gauss_newton")
     fast_sweep = (s.stage_dyn_jac is not None
-                  and opts.hessian == "gauss_newton")
-    stage_derivs = make_stage_derivs(s, opts.hessian, skip_dyn=fast_sweep)
+                  and opts.hessian == "gauss_newton") or fast_cf
+    stage_derivs = make_stage_derivs(s, opts.hessian, skip_dyn=fast_sweep,
+                                     skip_cost=fast_cf)
     v_stage = jax.vmap(stage_derivs, in_axes=(0, 0, 0, None, 0, 0, 0))
     ks = jnp.arange(N)
 
@@ -1152,7 +1198,13 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
 
         def body(st: _SState) -> _SState:
             X, U, S = st.X, st.U, st.S
-            if fast_sweep:
+            if fast_cf:
+                E, ival, Cz, hval = v_stage(
+                    X[:N], U, ks, p, st.lam, st.nus, st.mu_h)
+                dval, A, B, _qv, gq_u, Hq_u = s.stage_cf(X[:N], U, p)
+                H = p["_sf"] * Hq_u
+                gc = p["_sf"] * gq_u
+            elif fast_sweep:
                 H, gc, E, ival, Cz, hval = v_stage(
                     X[:N], U, ks, p, st.lam, st.nus, st.mu_h)
                 dval, A, B = s.stage_dyn_jac(X[:N], U, p)

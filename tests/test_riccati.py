@@ -513,6 +513,17 @@ def test_fast_dyn_sweep_matches_generic():
     _check_fast_vs_generic(cfg_d, "discrete", x0s_d, xs_d, us_d, 8,
                            d=np.zeros(2))
 
+    # ContForm joint sweep (rk4_quad_stage_hess): dynamics Jacobians AND
+    # the economic quadrature cost's gradient/Hessian from one rollout
+    from mpc_code_tpu.examples.enmpc import make_config as mk_en
+
+    cfg_e = mk_en().replace(N=8)
+    x0_e = np.asarray(cfg_e.x0_m, float)
+    rng_e = np.random.default_rng(3)
+    x0s_e = jnp.asarray(x0_e + rng_e.uniform(-0.2, 0.2, size=(4, 2)))
+    _check_fast_vs_generic(cfg_e, "contform", x0s_e, x0_e,
+                           np.asarray(cfg_e.u0, float), 8, d=np.zeros(2))
+
 
 def _check_fast_vs_generic(cfg, name, x0s, xs, us, N, d):
     import os
@@ -525,7 +536,8 @@ def _check_fast_vs_generic(cfg, name, x0s, xs, us, N, d):
     for fast in (True, False):
         os.environ["MPC_TPU_FAST_SWEEP"] = "1" if fast else "0"
         socp = build_structured_ocp(cfg, model, f_obj, vfin)
-        assert (socp.stage_dyn_jac is not None) == fast, name
+        assert ((socp.stage_dyn_jac is not None)
+                or (socp.stage_cf is not None)) == fast, name
         solve = make_structured_solver(
             socp, SolverOptions(max_iter=80, tol=1e-8,
                                 hessian="gauss_newton"))
