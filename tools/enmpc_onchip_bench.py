@@ -48,8 +48,12 @@ def main():
         cfg = make_config(Nsim=Nsim).replace(N=N)
         cfg.estimator.N_mhe = N_mhe
         if on_chip:
+            # ENMPC_HESS=gauss_newton engages the ContForm joint lanes-minor
+            # sweep (rk4_quad_stage_hess) in the OCP; exact (default) keeps
+            # the constraint-curvature term (fewer iterations, pricier sweep)
+            hess = os.environ.get("ENMPC_HESS", "exact")
             cfg = cfg.replace(sol_opts_ss=SolverOptions.for_f32(),
-                              sol_opts_dyn=SolverOptions.for_f32(),
+                              sol_opts_dyn=SolverOptions.for_f32(hessian=hess),
                               sol_opts_mhe=SolverOptions.for_f32())
         return cfg
 
