@@ -155,6 +155,18 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
         def jac_g(w, p):
             return sg[:, None] * raw_jac_g(w, p)
 
+        def jac_g_val(w, p):
+            # Jacobian AND value from one AD pass (the primal is evaluated
+            # inside jacfwd/jacrev anyway; returning it as aux saves the
+            # separate g evaluation per iteration)
+            def g_aux(ww):
+                v = nlp.g(ww, p)
+                return v, v
+
+            ad = jax.jacfwd if ng >= nw else jax.jacrev
+            J, gv = ad(g_aux, has_aux=True)(w)
+            return sg[:, None] * J, sg * gv
+
         def hess_l(w, p, y):
             return raw_hess_l(w, p, sf, y * sg)
 
@@ -230,8 +242,10 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
             gf = grad_f(w, p)
             H = hess_l(w, p, y)
             if ng > 0:
-                J = jac_g(w, p)
-            r_c = constraint_res(w, s)
+                J, g_w = jac_g_val(w, p)
+                r_c = g_w - s
+            else:
+                r_c = jnp.zeros(0, dtype=dtype)
 
             dzl_gap = jnp.where(has_lb, z - lb, 1.0)
             dzu_gap = jnp.where(has_ub, ub - z, 1.0)
