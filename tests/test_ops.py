@@ -105,3 +105,88 @@ def test_history_csv_roundtrip(tmp_path):
     assert np.allclose(R["TIME_DYN"], H["TIME_DYN"])
     assert np.allclose(R["LAMBDA"][:4], H["LAMBDA"].reshape(4, -1)[:, :2])
     assert np.isnan(R["LAMBDA"][4:]).all()
+
+
+def test_rk4_stage_jac_matches_jacfwd():
+    # lanes-minor batched rule vs the per-stage jacfwd fallback (and the
+    # plain rk4 primal) for the continuous stage sweep
+    import jax
+
+    from mpc_code_tpu.ops.integrators import rk4_stage_jac
+
+    def ode(x, t, u, d, px):
+        return jnp.stack([x[1] * u[0] - jnp.exp(-x[0]) + px[0] + d[0],
+                          -x[0] * x[2] + u[1] * t,
+                          x[0] - 0.5 * x[2] + d[1] * u[0]])
+
+    F = rk4_stage_jac(ode, 4)
+    rng = np.random.default_rng(0)
+    B, N = 5, 3
+    xs = jnp.asarray(rng.normal(size=(B, N, 3)) * 0.3)
+    us = jnp.asarray(rng.normal(size=(B, N, 2)) * 0.2)
+    pxs = jnp.asarray(rng.normal(size=(B, N, 1)) * 0.1)
+    t = jnp.asarray(rng.normal(size=(B,)) * 0.1)
+    h = jnp.full((B,), 0.2)
+    d = jnp.asarray(rng.normal(size=(B, 2)) * 0.1)
+    bat = jax.jit(jax.vmap(F))(xs, us, pxs, t, h, d)
+    ref = [F(xs[b], us[b], pxs[b], t[b], h[b], d[b]) for b in range(B)]
+    for i in range(3):
+        r = np.stack([np.asarray(rr[i]) for rr in ref])
+        assert np.abs(np.asarray(bat[i]) - r).max() < 1e-12
+
+    prim = rk4(lambda xx, tt, uu, dd, pp: ode(xx, tt, uu, dd, pp), 4)(
+        xs[0, 0], t[0], 0.2, us[0, 0], d[0], pxs[0, 0])
+    assert np.abs(np.asarray(prim) - np.asarray(bat[0][0, 0])).max() < 1e-14
+
+
+def test_map_stage_jac_matches_jacfwd():
+    import jax
+
+    from mpc_code_tpu.ops.integrators import map_stage_jac
+
+    def Fmap(x, u, d, t, px):
+        return jnp.stack([0.9 * x[0] + 0.1 * jnp.tanh(x[1]) + u[0],
+                          x[1] - 0.2 * x[0] * u[0] + px[0] + d[0] * t])
+
+    F = map_stage_jac(Fmap)
+    rng = np.random.default_rng(1)
+    B, N = 4, 3
+    xs = jnp.asarray(rng.normal(size=(B, N, 2)))
+    us = jnp.asarray(rng.normal(size=(B, N, 1)))
+    pxs = jnp.asarray(rng.normal(size=(B, N, 1)))
+    t = jnp.asarray(rng.normal(size=(B,)))
+    d = jnp.asarray(rng.normal(size=(B, 1)))
+    bat = jax.jit(jax.vmap(F))(xs, us, pxs, t, d)
+    ref = [F(xs[b], us[b], pxs[b], t[b], d[b]) for b in range(B)]
+    for i in range(3):
+        r = np.stack([np.asarray(rr[i]) for rr in ref])
+        assert np.abs(np.asarray(bat[i]) - r).max() < 1e-12
+
+
+def test_rk4_quad_stage_hess_matches_generic():
+    # joint dynamics+quadrature sweep: value/Jacobian/gradient/Hessian vs
+    # per-stage jacfwd + jax.hessian (the ContForm generic path)
+    import jax
+
+    from mpc_code_tpu.ops.integrators import rk4_quad_stage_hess
+
+    def ode(x, t, u, d, px, xss, uss, py):
+        return jnp.stack([x[1] - jnp.exp(-x[0]) + u[0] + px[0],
+                          -x[0] * x[1] + d[0] + 0.1 * t])
+
+    def quad(x, t, u, d, px, xss, uss, py):
+        return u[0] * (0.3 - x[1]) + 0.5 * (x[0] - xss[0]) ** 2 + py[0] * u[0] ** 2
+
+    F = rk4_quad_stage_hess(ode, quad, 3)
+    rng = np.random.default_rng(2)
+    B, N = 4, 3
+    a = lambda *s: jnp.asarray(rng.normal(size=s) * 0.3)
+    xs, us, pxs, pys = a(B, N, 2), a(B, N, 1), a(B, N, 1), a(B, N, 1)
+    t, h = a(B), jnp.full((B,), 0.25)
+    d, xss, uss = a(B, 1), a(B, 2), a(B, 1)
+    bat = jax.jit(jax.vmap(F))(xs, us, pxs, pys, t, h, d, xss, uss)
+    ref = [F(xs[b], us[b], pxs[b], pys[b], t[b], h[b], d[b], xss[b], uss[b])
+           for b in range(B)]
+    for i in range(6):
+        r = np.stack([np.asarray(rr[i]) for rr in ref])
+        assert np.abs(np.asarray(bat[i]) - r).max() < 1e-12, i
