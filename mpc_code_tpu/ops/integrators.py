@@ -100,6 +100,40 @@ def rk4_quad(f: Callable, q: Callable, Mx: int) -> Callable:
     return step
 
 
+# ---------------------------------------------------------------------------
+# shared helpers for the lanes-minor custom_vmap rules: the flattened
+# scenario-stage axis (index = b*N + n) rides the MINOR dimension
+# ---------------------------------------------------------------------------
+
+
+def _bcast_unbatched(axis_size, in_batched, args):
+    return [jnp.broadcast_to(a, (axis_size,) + jnp.shape(a)) if not b else a
+            for a, b in zip(args, in_batched)]
+
+
+def _pack_st(a, L):
+    """Per-stage data: (B, N, dim) -> (dim, B*N)."""
+    return jnp.moveaxis(a.reshape(L, -1), 0, -1)
+
+
+def _pack_sh(a, N):
+    """Per-scenario shared data: (B, dim) -> (dim, B*N)."""
+    return jnp.repeat(jnp.moveaxis(a, 0, -1), N, axis=-1)
+
+
+def _unpack(a, Bsz, N, shape):
+    """(..., B*N) -> (B, N, *shape)."""
+    return jnp.moveaxis(a, -1, 0).reshape((Bsz, N) + shape)
+
+
+def _tangent_basis(nx, nu, L, dtype):
+    """One-hot (x, u) tangent pairs for the nx+nu directions, lane-wide."""
+    eye = jnp.eye(nx + nu, dtype=dtype)
+    tx = [jnp.broadcast_to(eye[i, :nx, None], (nx, L)) for i in range(nx + nu)]
+    tu = [jnp.broadcast_to(eye[i, nx:, None], (nu, L)) for i in range(nx + nu)]
+    return tx, tu
+
+
 def rk4_stage_jac(f: Callable, Mx: int):
     """Stage-sweep RK4 rollout WITH first-order Jacobians, batch-friendly.
 
@@ -154,23 +188,15 @@ def rk4_stage_jac(f: Callable, Mx: int):
 
     @stage_jac.def_vmap
     def _rule(axis_size, in_batched, xs, us, pxs, t, h, d):
-        args = [xs, us, pxs, t, h, d]
-        args = [jnp.broadcast_to(a, (axis_size,) + jnp.shape(a)) if not b else a
-                for a, b in zip(args, in_batched)]
-        xs, us, pxs, t, h, d = args
+        xs, us, pxs, t, h, d = _bcast_unbatched(
+            axis_size, in_batched, [xs, us, pxs, t, h, d])
         Bsz, N, nx = xs.shape
         nu = us.shape[-1]
         L = Bsz * N
 
-        def pack(a):
-            # (B, N, dim) -> (dim, B*N): scenario-stage on the minor axis
-            return jnp.moveaxis(a.reshape(L, -1), 0, -1)
-
-        xT = pack(xs)
-        uT = pack(us)
-        pxT = pack(pxs)
-        dT = jnp.repeat(jnp.moveaxis(d, 0, -1), N, axis=-1)   # (nd, B*N)
-        tT = jnp.repeat(t.reshape(Bsz), N)                    # (B*N,)
+        xT, uT, pxT = _pack_st(xs, L), _pack_st(us, L), _pack_st(pxs, L)
+        dT = _pack_sh(d, N)
+        tT = jnp.repeat(t.reshape(Bsz), N)
         hT = jnp.repeat(h.reshape(Bsz), N)
         dt = hT / Mx
 
@@ -178,9 +204,7 @@ def rk4_stage_jac(f: Callable, Mx: int):
             return _substep(xv, uv, tv, dt, dT, pxT)
 
         nz = nx + nu
-        eye = jnp.eye(nz, dtype=xs.dtype)
-        tx = [jnp.broadcast_to(eye[i, :nx, None], (nx, L)) for i in range(nz)]
-        tu = [jnp.broadcast_to(eye[i, nx:, None], (nu, L)) for i in range(nz)]
+        tx, tu = _tangent_basis(nx, nu, L, xs.dtype)
 
         xv, tv = xT, tT
         for _ in range(Mx):
@@ -188,12 +212,9 @@ def rk4_stage_jac(f: Callable, Mx: int):
             tx = [f_lin(tx[i], tu[i]) for i in range(nz)]
             tv = tv + dt
 
-        def unpack(a, shape):
-            return jnp.moveaxis(a, -1, 0).reshape((Bsz, N) + shape)
-
-        xf = unpack(xv, (nx,))
+        xf = _unpack(xv, Bsz, N, (nx,))
         Jcols = jnp.stack(tx, axis=1)          # (nx, nz, L)
-        J = unpack(Jcols.reshape(nx * nz, L), (nx, nz))
+        J = _unpack(Jcols.reshape(nx * nz, L), Bsz, N, (nx, nz))
         return (xf, J[..., :nx], J[..., nx:]), (True, True, True)
 
     return stage_jac
@@ -231,33 +252,23 @@ def map_stage_jac(f: Callable):
 
     @stage_jac.def_vmap
     def _rule(axis_size, in_batched, xs, us, pxs, t, d):
-        args = [xs, us, pxs, t, d]
-        args = [jnp.broadcast_to(a, (axis_size,) + jnp.shape(a)) if not b else a
-                for a, b in zip(args, in_batched)]
-        xs, us, pxs, t, d = args
+        xs, us, pxs, t, d = _bcast_unbatched(
+            axis_size, in_batched, [xs, us, pxs, t, d])
         Bsz, N, nx = xs.shape
         nu = us.shape[-1]
         L = Bsz * N
 
-        def pack(a):
-            return jnp.moveaxis(a.reshape(L, -1), 0, -1)
-
-        xT, uT, pxT = pack(xs), pack(us), pack(pxs)
-        dT = jnp.repeat(jnp.moveaxis(d, 0, -1), N, axis=-1)
+        xT, uT, pxT = _pack_st(xs, L), _pack_st(us, L), _pack_st(pxs, L)
+        dT = _pack_sh(d, N)
         tT = jnp.repeat(t.reshape(Bsz), N)
 
         nz = nx + nu
-        eye = jnp.eye(nz, dtype=xs.dtype)
+        tx, tu = _tangent_basis(nx, nu, L, xs.dtype)
         xv, f_lin = jax.linearize(lambda xx, uu: f(xx, uu, dT, tT, pxT), xT, uT)
-        cols = [f_lin(jnp.broadcast_to(eye[i, :nx, None], (nx, L)),
-                      jnp.broadcast_to(eye[i, nx:, None], (nu, L)))
-                for i in range(nz)]
+        cols = [f_lin(tx[i], tu[i]) for i in range(nz)]
 
-        def unpack(a, shape):
-            return jnp.moveaxis(a, -1, 0).reshape((Bsz, N) + shape)
-
-        xf = unpack(xv, (nx,))
-        J = unpack(jnp.stack(cols, axis=1).reshape(nx * nz, L), (nx, nz))
+        xf = _unpack(xv, Bsz, N, (nx,))
+        J = _unpack(jnp.stack(cols, axis=1).reshape(nx * nz, L), Bsz, N, (nx, nz))
         return (xf, J[..., :nx], J[..., nx:]), (True, True, True)
 
     return stage_jac
@@ -323,31 +334,23 @@ def rk4_quad_stage_hess(f: Callable, q: Callable, Mx: int):
 
     @stage_sweep.def_vmap
     def _rule(axis_size, in_batched, *args):
-        args = [jnp.broadcast_to(a, (axis_size,) + jnp.shape(a)) if not b else a
-                for a, b in zip(args, in_batched)]
+        args = _bcast_unbatched(axis_size, in_batched, args)
         xs, us, pxs, pys, t, h, d, x_ss, u_ss = args
         Bsz, N, nx = xs.shape
         nu = us.shape[-1]
         L = Bsz * N
         nz = nx + nu
 
-        def pack_st(a):      # per-stage: (B, N, dim) -> (dim, B*N)
-            return jnp.moveaxis(a.reshape(L, -1), 0, -1)
-
-        def pack_sh(a):      # shared per scenario: (B, dim) -> (dim, B*N)
-            return jnp.repeat(jnp.moveaxis(a, 0, -1), N, axis=-1)
-
-        xT, uT, pxT, pyT = pack_st(xs), pack_st(us), pack_st(pxs), pack_st(pys)
-        dT, xsT, usT = pack_sh(d), pack_sh(x_ss), pack_sh(u_ss)
+        xT, uT = _pack_st(xs, L), _pack_st(us, L)
+        pxT, pyT = _pack_st(pxs, L), _pack_st(pys, L)
+        dT, xsT, usT = _pack_sh(d, N), _pack_sh(x_ss, N), _pack_sh(u_ss, N)
         tT = jnp.repeat(t.reshape(Bsz), N)
         hT = jnp.repeat(h.reshape(Bsz), N)
 
         def roll_l(xv, uv):
             return _roll(xv, uv, tT, hT, dT, pxT, pyT, xsT, usT)
 
-        eye = jnp.eye(nz, dtype=xs.dtype)
-        tx = [jnp.broadcast_to(eye[i, :nx, None], (nx, L)) for i in range(nz)]
-        tu = [jnp.broadcast_to(eye[i, nx:, None], (nu, L)) for i in range(nz)]
+        tx, tu = _tangent_basis(nx, nu, L, xs.dtype)
 
         (xv, qv), f_lin = jax.linearize(roll_l, xT, uT)
         tans = [f_lin(tx[i], tu[i]) for i in range(nz)]   # (dx_i, dq_i)
@@ -362,15 +365,14 @@ def rk4_quad_stage_hess(f: Callable, q: Callable, Mx: int):
             _, (hx, hu) = jax.jvp(grad_q, (xT, uT), (tx[i], tu[i]))
             hcols.append(jnp.concatenate([hx, hu], axis=0))   # (nz, L)
 
-        def unpack(a, shape):
-            return jnp.moveaxis(a, -1, 0).reshape((Bsz, N) + shape)
-
-        xf = unpack(xv, (nx,))
-        qvo = unpack(qv[None], ())  # (L,) -> add axis for pack symmetry
-        J = unpack(jnp.stack([tans[i][0] for i in range(nz)], axis=1)
-                   .reshape(nx * nz, L), (nx, nz))
-        gq = unpack(jnp.stack([tans[i][1] for i in range(nz)], axis=0), (nz,))
-        Hq = unpack(jnp.stack(hcols, axis=1).reshape(nz * nz, L), (nz, nz))
+        xf = _unpack(xv, Bsz, N, (nx,))
+        qvo = _unpack(qv[None], Bsz, N, ())
+        J = _unpack(jnp.stack([tans[i][0] for i in range(nz)], axis=1)
+                    .reshape(nx * nz, L), Bsz, N, (nx, nz))
+        gq = _unpack(jnp.stack([tans[i][1] for i in range(nz)], axis=0),
+                     Bsz, N, (nz,))
+        Hq = _unpack(jnp.stack(hcols, axis=1).reshape(nz * nz, L),
+                     Bsz, N, (nz, nz))
         Hq = 0.5 * (Hq + jnp.swapaxes(Hq, -1, -2))
         return (xf, J[..., :nx], J[..., nx:], qvo, gq, Hq), (True,) * 6
 

@@ -57,6 +57,20 @@ _KAPPA_MU = 0.2
 _THETA_MU = 1.5
 
 
+
+def _fast_sweep_default() -> bool:
+    """Lane-packed sweeps pay transpose overhead with no layout win on CPU
+    (measured ~4x slower at small batches); they are a TPU optimization.
+    MPC_TPU_FAST_SWEEP=0/1 overrides."""
+    env = os.environ.get("MPC_TPU_FAST_SWEEP")
+    if env is not None:
+        return env == "1"
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def structured_supported(cfg: MPCConfig) -> bool:
     """True when the OCP fits the stagewise Riccati structure.
 
@@ -153,9 +167,6 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
     behavior.  State box bounds on s1/s2 (Control_Calc.py:552-556) become
     stage inequality rows on the condensed S(x, u).
     """
-    if not structured_supported(cfg):
-        raise ValueError("structured path: unsupported OCP features "
-                         "(H_eq x TermCons)")
     from mpc_code_tpu.ocp.shooting import _user_constraint_dim
 
     ng_user = _user_constraint_dim(cfg.G_ineq, cfg)
@@ -531,7 +542,7 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
     stage_dyn_jac = None
     if ((not colloc) and (not cont_form)
             and isinstance(cfg.model, (ContinuousModel, DiscreteModel))
-            and os.environ.get("MPC_TPU_FAST_SWEEP", "1") == "1"):
+            and _fast_sweep_default()):
         from mpc_code_tpu.ops.integrators import map_stage_jac, rk4_stage_jac
 
         m = cfg.model
@@ -609,8 +620,7 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
     # rollout).  No augmentation here: ContForm forces du_coupled off, and
     # the shared-slack augmentation keeps the generic path.
     stage_cf = None
-    if (cont_form and not slacks
-            and os.environ.get("MPC_TPU_FAST_SWEEP", "1") == "1"):
+    if cont_form and not slacks and _fast_sweep_default():
         from mpc_code_tpu.ops.integrators import rk4_quad_stage_hess
 
         _sw_cf = rk4_quad_stage_hess(_ode, _quad, Mx_c)

@@ -533,30 +533,32 @@ def _check_fast_vs_generic(cfg, name, x0s, xs, us, N, d):
     vfin = build_terminal_cost(cfg)
     nx, nu = cfg.nx, cfg.nu
     res = {}
-    for fast in (True, False):
-        os.environ["MPC_TPU_FAST_SWEEP"] = "1" if fast else "0"
-        socp = build_structured_ocp(cfg, model, f_obj, vfin)
-        assert ((socp.stage_dyn_jac is not None)
-                or (socp.stage_cf is not None)) == fast, name
-        solve = make_structured_solver(
-            socp, SolverOptions(max_iter=80, tol=1e-8,
-                                hessian="gauss_newton"))
-        nxa = socp.nxa
+    try:
+        for fast in (True, False):
+            os.environ["MPC_TPU_FAST_SWEEP"] = "1" if fast else "0"
+            socp = build_structured_ocp(cfg, model, f_obj, vfin)
+            assert ((socp.stage_dyn_jac is not None)
+                    or (socp.stage_cf is not None)) == fast, name
+            solve = make_structured_solver(
+                socp, SolverOptions(max_iter=80, tol=1e-8,
+                                    hessian="gauss_newton"))
+            nxa = socp.nxa
 
-        def lane(x0):
-            par = dict(x0=x0, xs=jnp.asarray(xs), us=jnp.asarray(us),
-                       d=jnp.asarray(d), um1=jnp.asarray(us),
-                       t=jnp.asarray(0.0),
-                       lam=jnp.zeros((cfg.ny, cfg.nu)),
-                       px=jnp.zeros((N, cfg.npx)),
-                       py=jnp.zeros((N, cfg.npy)))
-            xa0 = jnp.zeros(nxa).at[:nx].set(x0)
-            X0 = jnp.tile(xa0[None], (N + 1, 1))
-            U0 = jnp.zeros((N, socp.nu)).at[:, :nu].set(jnp.asarray(us))
-            return solve(par, X0, U0)
+            def lane(x0):
+                par = dict(x0=x0, xs=jnp.asarray(xs), us=jnp.asarray(us),
+                           d=jnp.asarray(d), um1=jnp.asarray(us),
+                           t=jnp.asarray(0.0),
+                           lam=jnp.zeros((cfg.ny, cfg.nu)),
+                           px=jnp.zeros((N, cfg.npx)),
+                           py=jnp.zeros((N, cfg.npy)))
+                xa0 = jnp.zeros(nxa).at[:nx].set(x0)
+                X0 = jnp.tile(xa0[None], (N + 1, 1))
+                U0 = jnp.zeros((N, socp.nu)).at[:, :nu].set(jnp.asarray(us))
+                return solve(par, X0, U0)
 
-        res[fast] = jax.jit(jax.vmap(lane))(x0s)
-    os.environ.pop("MPC_TPU_FAST_SWEEP", None)
+            res[fast] = jax.jit(jax.vmap(lane))(x0s)
+    finally:
+        os.environ.pop("MPC_TPU_FAST_SWEEP", None)
     # some variants floor at STATUS_ACCEPTABLE on some lanes at tol=1e-8;
     # the point here is fast == generic, lane for lane
     assert (np.asarray(res[True].status) != 2).all(), name

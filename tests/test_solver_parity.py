@@ -31,7 +31,7 @@ from mpc_code_tpu.solver.ipm import make_solver
 _ORACLE_DIR = __import__("pathlib").Path(__file__).parent.parent / "fixtures" / "slsqp_oracle"
 
 
-def _oracle_digest(nlp, w0, p, lbw, ubw, lbg, ubg):
+def _oracle_digest(nlp, w0, p, lbw, ubw, lbg, ubg, maxiter):
     """Content digest of the NLP *instance*: all numeric data plus the
     NLP functions' behavior at w0 (f, g, grad f) — any change to the
     transcription code or the problem data changes the digest, so cached
@@ -50,7 +50,8 @@ def _oracle_digest(nlp, w0, p, lbw, ubw, lbg, ubg):
     gf0 = np.asarray(gf0_, np.float64)
     for a in ([np.asarray(w0, np.float64), np.asarray(lbw, np.float64),
                np.asarray(ubw, np.float64), np.asarray(lbg, np.float64),
-               np.asarray(ubg, np.float64), f0, g0, gf0]
+               np.asarray(ubg, np.float64),
+               np.asarray([maxiter], np.float64), f0, g0, gf0]
               + [np.asarray(v, np.float64) for _, v in sorted(p.items())]):
         h.update(np.ascontiguousarray(a).tobytes())
     return h.hexdigest()[:24]
@@ -68,7 +69,7 @@ def _slsqp(nlp, w0, p, lbw, ubw, lbg, ubg, maxiter=500):
     import os
     import types
 
-    key = _oracle_digest(nlp, w0, p, lbw, ubw, lbg, ubg)
+    key = _oracle_digest(nlp, w0, p, lbw, ubw, lbg, ubg, maxiter)
     cache = _ORACLE_DIR / f"{key}.npz"
     if cache.exists() and os.environ.get("MPC_TPU_SLOW", "0") != "1":
         try:

@@ -41,11 +41,13 @@ def main():
     ap.add_argument("--n", type=int, default=50)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--k", type=int, default=16,
-                    help="in-graph repetitions per phase dispatch")
+                    help="in-graph repetitions per phase dispatch (>= 2)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--trace", default=None,
                     help="capture a jax.profiler trace of one solve to DIR")
     args = ap.parse_args()
+    if args.k < 2:
+        ap.error("--k must be >= 2 (K-vs-1 difference quotient)")
 
     import jax
 
@@ -118,12 +120,29 @@ def main():
     v_stage = jax.vmap(stage_derivs, in_axes=(0, 0, 0, None, 0, 0, 0))
 
     def sweep_one(x0):
+        # the GENERIC batch-major jacfwd sweep (kept for comparison)
         p = make_par(x0)
         X, U = rep_state(x0)
         lam = jnp.zeros((N, nxa), jnp.float32)
         nus = jnp.zeros((N, ni), jnp.float32)
         mu_h = jnp.zeros((N, socp.n_eq), jnp.float32)
         return v_stage(X[:N], U, ks, p, lam, nus, mu_h)
+
+    # the FAST lane-packed sweep — what make_structured_solver actually
+    # runs for this (gauss_newton, continuous-shooting) configuration
+    fast = socp.stage_dyn_jac is not None
+    if fast:
+        sd_skip = make_stage_derivs(socp, opts.hessian, skip_dyn=True)
+        v_skip = jax.vmap(sd_skip, in_axes=(0, 0, 0, None, 0, 0, 0))
+
+        def sweep_fast_one(x0):
+            p = make_par(x0)
+            X, U = rep_state(x0)
+            lam = jnp.zeros((N, nxa), jnp.float32)
+            nus = jnp.zeros((N, ni), jnp.float32)
+            mu_h = jnp.zeros((N, socp.n_eq), jnp.float32)
+            rest = v_skip(X[:N], U, ks, p, lam, nus, mu_h)
+            return rest + socp.stage_dyn_jac(X[:N], U, p)
 
     def residuals_one(x0):
         p = make_par(x0)
@@ -214,11 +233,13 @@ def main():
     res = jax.jit(jax.vmap(lane))(x0s)
     med_iters = float(np.median(np.asarray(res.iters)))
     phases = [
-        ("deriv_sweep", sweep_one),
+        ("deriv_sweep_generic", sweep_one),
         ("riccati_kkt(sweep+bw+fw)", riccati_one),
         ("residuals", residuals_one),
         ("merit_eval", merit_one),
     ]
+    if fast:
+        phases.insert(0, ("deriv_sweep_fast(solver path)", sweep_fast_one))
     for name, fn in phases:
         rows.append(timeit_ingraph(name, fn))
     rows.append((full_name, full_t))
