@@ -326,3 +326,40 @@ def test_user_equality_structured_matches_dense():
         us.append(float(out.u[0]))
         assert int(out.status_dyn) != 2
     assert np.abs(np.asarray(H["U"])[:, 0] - np.asarray(us)).max() < 1e-5
+
+
+def test_slacksh_structured_matches_dense():
+    # slack-softened user stage EQUALITIES (slacksH): the shared slack
+    # vector gains nh_user entries relaxing the H rows to H_k = s_k >= 0
+    # (Control_Calc.py:140-143); structured vs dense, host vs traced
+    from mpc_code_tpu.solver.riccati import structured_supported
+
+    def H_eq(x, u, y, d, t, px, py):
+        # pinned-u line inconsistent with the unconstrained optimum at the
+        # start -> the slack absorbs the residual
+        return jnp.atleast_1d(u[0] - 0.05 - 0.2 * x[1])
+
+    ny = 2
+    bounds = Bounds(umin=np.array([-3.0]), umax=np.array([3.0]),
+                    ymin=np.array([-0.5, -0.5]), ymax=np.array([2.0, 2.0]))
+    x0 = np.array([0.6, 0.5])
+    cfg = _base(H_eq=H_eq, slacks=True, slacksH=True,
+                Ws=10.0 * np.eye(2 * ny + 1), bounds=bounds,
+                x0_p=x0, x0_m=x0)
+    assert structured_supported(cfg)
+    H = ClosedLoop(cfg).run()       # dense transcription host loop
+    assert (np.asarray(H["STATUS_DYN"]) != 2).all()
+    assert np.isfinite(H["Yp"]).all()
+
+    import jax
+
+    from mpc_code_tpu.loop.batched import init_carry, make_mpc_step
+
+    step = jax.jit(make_mpc_step(cfg, ysp=np.array([0.8, 0.4])))
+    c = init_carry(cfg)
+    us = []
+    for _ in range(cfg.Nsim):
+        c, out = step(c)
+        us.append(float(out.u[0]))
+        assert int(out.status_dyn) != 2
+    assert np.abs(np.asarray(H["U"])[:, 0] - np.asarray(us)).max() < 1e-4
