@@ -1195,7 +1195,7 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             cs = jax.vmap(_cost, in_axes=(0, 0, 0, None))(X[:N], U, ks, p)
             return jnp.sum(cs) + _cost_N(X[N], p)
 
-        def barrier_phi(X, U, S, mu):
+        def barrier_phi(X, U, S, mu, cost_val=None):
             def terms(z, lb, ub, hl, hu):
                 tl = jnp.where(hl, jnp.log(jnp.maximum(jnp.where(hl, z - lb, 1.0), tiny)), 0.0)
                 tu = jnp.where(hu, jnp.log(jnp.maximum(jnp.where(hu, ub - z, 1.0), tiny)), 0.0)
@@ -1204,7 +1204,9 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             bar = terms(X[1:], lbx, ubx, hlx, hux) + terms(U, lbu, ubu, hlu, huu)
             if ni:
                 bar = bar + terms(S, lbi, ubi, hli, hui)
-            return total_cost(X, U) - mu * bar
+            if cost_val is None:
+                cost_val = total_cost(X, U)
+            return cost_val - mu * bar
 
         def body(st: _SState) -> _SState:
             X, U, S = st.X, st.U, st.S
@@ -1726,7 +1728,13 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 lam_inf = jnp.maximum(lam_inf,
                                       jnp.max(jnp.abs(mu_h_new), initial=0.0))
             nu_pen = jnp.maximum(1.5 * lam_inf + 1e-4, 0.5 * st.nu_pen)
-            phi0 = barrier_phi(X, U, S, mu)
+            if fast_cf:
+                # the ContForm sweep already integrated the stage quadrature
+                # at the current point — no second cost rollout for psi0
+                cost0 = p["_sf"] * jnp.sum(_qv) + _cost_N(X[N], p)
+                phi0 = barrier_phi(X, U, S, mu, cost_val=cost0)
+            else:
+                phi0 = barrier_phi(X, U, S, mu)
             psi0 = phi0 + nu_pen * c_norm
             # directional derivative (gradient of phi along step)
             dphi = (jnp.sum((q - g_extra) * jnp.concatenate([dX[:N], dU], axis=1))
