@@ -25,20 +25,17 @@ import jax.numpy as jnp
 from jax import lax
 
 def _unroll() -> bool:
-    """Unroll the Mx sub-step scan on TPU: the scan carry round-trips HBM
-    every sub-step, and under jacfwd the carry is (1 + n_tangents) x the
-    state — unrolling lets XLA fuse the whole interval into a few kernels.
-    Off by default on CPU, where the suite's many f64 solver graphs would
-    pay a large compile-time blowup for no win.  Override with
-    MPC_TPU_RK4_UNROLL=0/1.  Evaluated at trace time, after the test
-    conftest/bench have pinned the platform."""
+    """Unroll the Mx sub-step RK4 scan.  OFF by default everywhere: the
+    hypothesized HBM-round-trip win never materialized on real TPU v5e —
+    chip measurement (round 3) shows unrolling makes the bench ~35%
+    SLOWER (7,930 vs 5,884 solves/s at B=4096 with the lane-packed sweep
+    on; 10,196 vs 6,162 with it off) and inflates compile time.  At
+    B>=4096 the batched sub-step is already MXU/VPU-bound, so unrolling
+    only bloats the program and defeats XLA's scan-level scheduling.
+    Kept behind MPC_TPU_RK4_UNROLL=1 for small-batch latency experiments.
+    Evaluated at trace time."""
     env = os.environ.get("MPC_TPU_RK4_UNROLL")
-    if env is not None:
-        return env == "1"
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    return env == "1"
 
 
 def rk4(f: Callable, Mx: int) -> Callable:

@@ -59,16 +59,15 @@ _THETA_MU = 1.5
 
 
 def _fast_sweep_default() -> bool:
-    """Lane-packed sweeps pay transpose overhead with no layout win on CPU
-    (measured ~4x slower at small batches); they are a TPU optimization.
-    MPC_TPU_FAST_SWEEP=0/1 overrides."""
+    """Lane-packed sweeps are OFF by default everywhere: measured ~4x
+    slower on CPU at small batches, and — once chip measurement became
+    possible (round 3, TPU v5e) — ~5% slower than the batch-major jacfwd
+    sweep on the bench workload too (6,162 vs 5,884 solves/s at B=4096
+    with RK4 unrolling on; the layout win never materialized because XLA
+    already keeps the vmapped batch on the minor axis).  Kept behind
+    MPC_TPU_FAST_SWEEP=1 for future hardware where the tradeoff may flip."""
     env = os.environ.get("MPC_TPU_FAST_SWEEP")
-    if env is not None:
-        return env == "1"
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    return env == "1"
 
 
 def structured_supported(cfg: MPCConfig) -> bool:

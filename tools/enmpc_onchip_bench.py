@@ -48,9 +48,10 @@ def main():
         cfg = make_config(Nsim=Nsim).replace(N=N)
         cfg.estimator.N_mhe = N_mhe
         if on_chip:
-            # ENMPC_HESS=gauss_newton engages the ContForm joint lanes-minor
-            # sweep (rk4_quad_stage_hess) in the OCP; exact (default) keeps
-            # the constraint-curvature term (fewer iterations, pricier sweep)
+            # ENMPC_HESS=gauss_newton drops constraint curvature (with
+            # MPC_TPU_FAST_SWEEP=1 it also engages the opt-in ContForm
+            # joint lanes-minor sweep rk4_quad_stage_hess); exact (default)
+            # keeps the curvature term (fewer iterations, pricier sweep)
             hess = os.environ.get("ENMPC_HESS", "exact")
             cfg = cfg.replace(sol_opts_ss=SolverOptions.for_f32(),
                               sol_opts_dyn=SolverOptions.for_f32(hessian=hess),

@@ -38,8 +38,8 @@ def main():
         # floor and would spin every solve to max_iter
         from mpc_code_tpu.config import SolverOptions
 
-        # LATENCY_HESS=gauss_newton engages the lane-packed stage sweep in
-        # the OCP (cheaper iterations; exact keeps constraint curvature)
+        # LATENCY_HESS=gauss_newton drops constraint curvature in the OCP
+        # (cheaper iterations; exact keeps constraint curvature)
         hess = os.environ.get("LATENCY_HESS", "exact")
         cfg = cfg.replace(sol_opts_ss=SolverOptions.for_f32(),
                           sol_opts_dyn=SolverOptions.for_f32(hessian=hess),

@@ -128,8 +128,8 @@ def main():
         mu_h = jnp.zeros((N, socp.n_eq), jnp.float32)
         return v_stage(X[:N], U, ks, p, lam, nus, mu_h)
 
-    # the FAST lane-packed sweep — what make_structured_solver actually
-    # runs for this (gauss_newton, continuous-shooting) configuration
+    # the lane-packed sweep (opt-in via MPC_TPU_FAST_SWEEP=1) — profiled
+    # alongside the default batch-major sweep for A/B comparison
     fast = socp.stage_dyn_jac is not None
     if fast:
         sd_skip = make_stage_derivs(socp, opts.hessian, skip_dyn=True)
