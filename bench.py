@@ -87,6 +87,7 @@ def main():
         return SolverOptions(max_iter=max_iter,
                              tol=float(os.environ.get("BENCH_TOL", "1e-3")),
                              constr_viol_tol=1e-3,
+                             mu_init=float(os.environ.get("BENCH_MU_INIT", "1e-1")),
                              hessian=os.environ.get("BENCH_HESS", "gauss_newton"),
                              mu_strategy=mu_strategy)
 
