@@ -1077,6 +1077,15 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
     v_stage = jax.vmap(stage_derivs, in_axes=(0, 0, 0, None, 0, 0, 0))
     ks = jnp.arange(N)
 
+    # full-output sweep as one fused Pallas kernel per 128-lane tile under
+    # vmap on TPU/f32 (identical per-lane semantics to v_stage; see
+    # sweep_kernel.py).  Only the generic path — the opt-in lane-packed
+    # fast paths keep their own sweep structure.
+    from mpc_code_tpu.solver.sweep_kernel import make_stage_sweep
+
+    sweep_full = (make_stage_sweep(stage_derivs, N)
+                  if not fast_sweep else None)
+
     from mpc_code_tpu.solver.riccati_kernel import make_riccati_kkt
 
     # fused backward+forward Riccati: per-lane sequential scan when
@@ -1220,8 +1229,8 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                     X[:N], U, ks, p, st.lam, st.nus, st.mu_h)
                 dval, A, B = s.stage_dyn_jac(X[:N], U, p)
             else:
-                H, gc, A, B, E, ival, Cz, hval, dval = v_stage(
-                    X[:N], U, ks, p, st.lam, st.nus, st.mu_h)
+                H, gc, A, B, E, ival, Cz, hval, dval = sweep_full(
+                    X[:N], U, p, st.lam, st.nus, st.mu_h)
             # residuals at the iterate, assembled from the sweep's primal
             # values (dval/ival/hval are the dynamics/inequality/equality
             # evaluations jacfwd already produced — no second rollout)
