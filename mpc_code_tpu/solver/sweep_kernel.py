@@ -158,11 +158,25 @@ def make_stage_sweep(stage_derivs, N: int):
             (np.shape(c), np.dtype(jnp.asarray(c).dtype).name)
             for c in consts)
 
-        call = _get_kernel(
-            stage_derivs, N, lane_shapes, live, shared, out_lane_shapes,
-            out_live, const_sig, treedef, np.dtype(dtype).name,
-            os.environ.get("MPC_TPU_PALLAS_INTERPRET", "0") == "1")
-        kernel_outs = call(T, *packed, *const2d)
+        # MPC_TPU_SWEEP_CHUNK=C splits the N stages over ceil(N/C) smaller
+        # pallas_calls (less Mosaic compile time / VMEM per kernel; a few
+        # more dispatches per iteration)
+        chunk = int(os.environ.get("MPC_TPU_SWEEP_CHUNK", str(N)))
+        interp = os.environ.get("MPC_TPU_PALLAS_INTERPRET", "0") == "1"
+        chunk_outs = []
+        for k0 in range(0, N, chunk):
+            k1 = min(k0 + chunk, N)
+            call = _get_kernel(
+                stage_derivs, N, k0, k1, lane_shapes, live, shared,
+                out_lane_shapes, out_live, const_sig, treedef,
+                np.dtype(dtype).name, interp)
+            chunk_outs.append(call(T, *packed, *const2d))
+        if len(chunk_outs) == 1:
+            kernel_outs = chunk_outs[0]
+        else:
+            kernel_outs = [jnp.concatenate([co[j] for co in chunk_outs],
+                                           axis=0)
+                           for j in range(len(chunk_outs[0]))]
 
         def unpack(x2d, shape):
             flat = jnp.moveaxis(x2d, -1, 0)[:B]
@@ -389,18 +403,21 @@ def _stage_jaxprs(stage_derivs, treedef, lane_shapes, N, dtype):
 
 
 @functools.lru_cache(maxsize=None)
-def _get_kernel(stage_derivs, N, lane_shapes, live, shared, out_lane_shapes,
-                out_live, const_sig, treedef, dtype_name, interpret):
-    """Build the pallas_call for one (stage function, shapes) signature.
+def _get_kernel(stage_derivs, N, k0, k1, lane_shapes, live, shared,
+                out_lane_shapes, out_live, const_sig, treedef, dtype_name,
+                interpret):
+    """Build the pallas_call for stages [k0, k1) of one (stage function,
+    shapes) signature.
 
     Cached on the stage-function identity + static shape signature, so each
-    jitted solver instance builds its kernel once.
+    jitted solver instance builds its kernel(s) once.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     dtype = jnp.dtype(dtype_name)
     L = _LANES
+    n_stages = k1 - k0
     jaxprs, s_live, _, const_maps, _ = _stage_jaxprs(
         stage_derivs, treedef, lane_shapes, N, dtype)
     Xs_i, Us_i, p_idx, lam_i, nus_i, muh_i = _roles(treedef)
@@ -434,11 +451,11 @@ def _get_kernel(stage_derivs, N, lane_shapes, live, shared, out_lane_shapes,
                 lambda *a: tuple(_eval_nodot(jaxprs[k], cs_k, *a)),
                 in_axes=tuple(axes), out_axes=-1)(*sv)
 
-        for k in range(N):
+        for k in range(k0, k1):
             outs_flat = stage_lane(k)  # live outputs only, ref order
             for ref, o in zip(out_refs, outs_flat):
                 rows_i = int(np.prod(o.shape[:-1], dtype=int))
-                ref[k * rows_i : (k + 1) * rows_i, :] = (
+                ref[(k - k0) * rows_i : (k - k0 + 1) * rows_i, :] = (
                     o.reshape((rows_i, L)))
 
     def bs(rows):
@@ -449,6 +466,11 @@ def _get_kernel(stage_derivs, N, lane_shapes, live, shared, out_lane_shapes,
         return pl.BlockSpec(shape2d, lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
+    def _chunk_rows(i):
+        # out shapes are (N, dims...): this kernel covers n_stages of them
+        s = out_lane_shapes[i]
+        return n_stages * int(np.prod(s[1:], dtype=int))
+
     def call(T, *packed_and_consts):
         n_tiles = T // L
         in_specs = ([bs_const(_as2d(lane_shapes[i])) if i in shared
@@ -456,12 +478,9 @@ def _get_kernel(stage_derivs, N, lane_shapes, live, shared, out_lane_shapes,
                      for i in live]
                     + [bs_const(_as2d(cs)) for cs, _ in const_sig])
         out_shape = tuple(
-            jax.ShapeDtypeStruct(
-                (int(np.prod(out_lane_shapes[i], dtype=int)), T), dtype)
+            jax.ShapeDtypeStruct((_chunk_rows(i), T), dtype)
             for i in out_live)
-        out_specs = tuple(
-            bs(int(np.prod(out_lane_shapes[i], dtype=int)))
-            for i in out_live)
+        out_specs = tuple(bs(_chunk_rows(i)) for i in out_live)
         return pl.pallas_call(
             kernel,
             grid=(n_tiles,),

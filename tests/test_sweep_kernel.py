@@ -111,6 +111,18 @@ def test_interpret_kernel_matches(problem, monkeypatch):
     _compare(ref, got, rtol=1e-4)
 
 
+def test_interpret_kernel_chunked(problem, monkeypatch):
+    """MPC_TPU_SWEEP_CHUNK splits the stages over several pallas_calls."""
+    cfg, s, sd = problem
+    args, in_axes = _args(cfg, s)
+    ref = _reference(cfg, s, sd, args)
+    monkeypatch.setenv("MPC_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("MPC_TPU_SWEEP_CHUNK", "3")  # N=7 -> 3+3+1
+    sweep = make_stage_sweep(sd, N)
+    got = jax.vmap(sweep, in_axes=in_axes)(*args)
+    _compare(ref, got, rtol=1e-4)
+
+
 def test_interpret_kernel_shared_leaves(problem, monkeypatch):
     """Lane-invariant (unbatched) p leaves ride the shared input path."""
     cfg, s, sd = problem
