@@ -8,8 +8,11 @@ small HBM-roundtripping ops per iteration (xprof round-3 measurement:
 ~3,300 op executions and ~78 ms per iteration at B=16384, of which the
 sweep's traced busy time is ~18 ms but its share of wall is ~2x that).
 
-This module fuses the ENTIRE sweep into one Pallas program per 128-lane
-batch tile:
+This module fuses the ENTIRE sweep into one Pallas program per batch tile.
+OUTCOME (round-3 chip measurement): the fused kernel is correct but does
+not beat XLA through the current remote toolchain — see `_use_pallas` for
+the numbers — so it ships OPT-IN (`MPC_TPU_SWEEP_PALLAS=1`), kept for
+future Mosaic versions.  Design:
 
 - **generic by construction**: the kernel evaluates the jaxpr of the SAME
   per-stage `stage_derivs` function the XLA path runs — a static python
@@ -57,17 +60,31 @@ import jax.numpy as jnp
 import numpy as np
 
 _LANES = int(os.environ.get("MPC_TPU_PALLAS_TILE", "128"))
+_SUBL = int(os.environ.get("MPC_TPU_SWEEP_SUBLANES", "8"))
 
 _STAGE_KEYS = ("px", "py")  # p-dict leaves indexed by the stage number
 
 
 def _use_pallas(dtype) -> bool:
-    """Same gate as riccati_kernel, plus a sweep-specific opt-out knob."""
-    if os.environ.get("MPC_TPU_SWEEP_PALLAS",
-                      os.environ.get("MPC_TPU_PALLAS", "1")) == "0":
-        return False
+    """OPT-IN (MPC_TPU_SWEEP_PALLAS=1), unlike the Riccati kernel.
+
+    Round-3 chip measurements (B=256, N=50, monotone/GN):
+
+    - lanes-only layout (scenarios on the 128 lanes, per-dim (dims, 128)
+      values): compiles in ~8 min, runs correctly (statuses identical to
+      the XLA sweep), but 2.1x SLOWER end to end (245 vs 117 ms/batch) —
+      every op uses 1/8th of the VPU's sublanes.
+    - (8, 128)-tile layout (1024 scenarios per program, full vregs):
+      Mosaic/remote-compiler build exceeded 40 min at N=50 (19+ min even
+      at N=10) — compile-impractical through the current toolchain.
+
+    The XLA batch-major sweep therefore remains the production path; this
+    kernel stays available for future toolchains where Mosaic's small-op
+    scheduling or compile scaling improves."""
     if os.environ.get("MPC_TPU_PALLAS_INTERPRET", "0") == "1":
         return True  # interpret-mode testing on CPU
+    if os.environ.get("MPC_TPU_SWEEP_PALLAS", "0") != "1":
+        return False
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
@@ -121,7 +138,11 @@ def make_stage_sweep(stage_derivs, N: int):
             return outs, out_batched
 
         B = axis_size
-        T = -(-B // _LANES) * _LANES
+        # each program hosts SUBL x LANES scenarios so every in-kernel op
+        # is a full (8, 128) f32 VPU tile — a (dims, 128) layout would use
+        # 1/8th of the sublanes (measured 2x SLOWER than the XLA sweep)
+        tile = _SUBL * _LANES
+        T = -(-B // tile) * tile
 
         lane_shapes = tuple(s.shape for s in lane_avals)
         live = tuple(i for i, s in enumerate(lane_shapes)
@@ -133,7 +154,10 @@ def make_stage_sweep(stage_derivs, N: int):
         def pack(x):
             flat = jnp.asarray(x, dtype).reshape((B, -1))
             flat = jnp.pad(flat, ((0, T - B), (0, 0)))
-            return jnp.moveaxis(flat, 0, -1)  # (rows, T)
+            # (rows, T//LANES, LANES): a program block (rows, SUBL, LANES)
+            # is its scenarios' values as native (8, 128) vregs
+            return jnp.moveaxis(flat, 0, -1).reshape(
+                (flat.shape[1], T // _LANES, _LANES))
 
         packed = [
             (jnp.asarray(flat_a[i], dtype).reshape(_as2d(lane_shapes[i]))
@@ -178,7 +202,8 @@ def make_stage_sweep(stage_derivs, N: int):
                                            axis=0)
                            for j in range(len(chunk_outs[0]))]
 
-        def unpack(x2d, shape):
+        def unpack(x3d, shape):
+            x2d = x3d.reshape((x3d.shape[0], T))
             flat = jnp.moveaxis(x2d, -1, 0)[:B]
             return flat.reshape((B,) + shape)
 
@@ -260,22 +285,46 @@ def _eval_nodot(jaxpr, consts, *args):
             length = eqn.params["length"]
             reverse = eqn.params["reverse"]
             cs = invals[:n_c]
-            carry = list(invals[n_c : n_c + n_car])
+            carry0 = list(invals[n_c : n_c + n_car])
             xs = invals[n_c + n_car:]
-            ys_acc = None
-            steps = range(length - 1, -1, -1) if reverse else range(length)
-            order = []
-            for i in steps:
-                x_i = [x[i] for x in xs]
-                res = _eval_nodot(cj.jaxpr, sub_consts(cj), *cs, *carry, *x_i)
-                carry = list(res[:n_car])
-                order.append(res[n_car:])
-            if order and order[0]:
-                if reverse:
-                    order = order[::-1]
-                ys_acc = [jnp.stack([step[j] for step in order])
-                          for j in range(len(order[0]))]
-            outs = carry + (ys_acc or [])
+            body_consts = sub_consts(cj)
+            n_ys = len(cj.jaxpr.outvars) - n_car
+            if not xs and n_ys == 0:
+                # carry-only scan (RK4 sub-steps, collocation Newton): keep
+                # it ROLLED as a fori_loop with the dot-decomposed body
+                # (Mosaic lowers fori_loop; a plain tensor-carry scan fails
+                # its fori pattern-match).  Inlining would multiply the
+                # kernel by `length` and blow Mosaic compile time.  With
+                # neither xs nor ys, reverse and forward execute the same
+                # body `length` times — the index is unused.  Scans WITH
+                # xs/ys would need in-loop dynamic slicing (absent in
+                # Mosaic) and are inlined below instead.
+                from jax import lax as _lax
+
+                def body(_, carry):
+                    return tuple(_eval_nodot(cj.jaxpr, body_consts,
+                                             *cs, *carry))
+
+                carry_f = _lax.fori_loop(0, length, body, tuple(carry0))
+                outs = list(carry_f)
+            else:
+                carry = carry0
+                steps = (range(length - 1, -1, -1) if reverse
+                         else range(length))
+                order = []
+                for i in steps:
+                    x_i = [x[i] for x in xs]
+                    res = _eval_nodot(cj.jaxpr, body_consts,
+                                      *cs, *carry, *x_i)
+                    carry = list(res[:n_car])
+                    order.append(res[n_car:])
+                ys_acc = None
+                if order and order[0]:
+                    if reverse:
+                        order = order[::-1]
+                    ys_acc = [jnp.stack([step[j] for step in order])
+                              for j in range(len(order[0]))]
+                outs = carry + (ys_acc or [])
         elif name in ("pjit", "closed_call", "core_call", "xla_call"):
             cj = eqn.params["jaxpr"]
             outs = list(_eval_nodot(cj.jaxpr, sub_consts(cj), *invals))
@@ -423,43 +472,51 @@ def _get_kernel(stage_derivs, N, k0, k1, lane_shapes, live, shared,
     Xs_i, Us_i, p_idx, lam_i, nus_i, muh_i = _roles(treedef)
     per_stage = {Xs_i, Us_i, lam_i, nus_i, muh_i}
 
+    S = _SUBL
+
     def kernel(*refs):
         in_refs = refs[: len(live)]
         c_refs = refs[len(live) : len(live) + len(const_sig)]
         out_refs = refs[len(live) + len(const_sig):]
 
-        # leaf values: lane-packed leaves get the lane axis minor; shared
-        # (lane-invariant) leaves keep their per-lane shape
+        # leaf values: batched leaves get trailing (SUBL, LANES) scenario
+        # axes; shared (lane-invariant) leaves keep their per-lane shape
         vals = {}
         it = iter(in_refs)
         for i, s in enumerate(lane_shapes):
             if i in live:
-                r = next(it)[:, :]
-                vals[i] = (r.reshape(tuple(s)) if i in shared
-                           else r.reshape(tuple(s) + (L,)))
+                r = next(it)
+                vals[i] = (r[:, :].reshape(tuple(s)) if i in shared
+                           else r[:, :, :].reshape(tuple(s) + (S, L)))
         consts = [r[:, :].reshape(cs) for r, (cs, _) in zip(c_refs, const_sig)]
 
         def stage_lane(k):
             cs_k = [consts[j] for j in const_maps[k]]
-            # per-stage leaf values, live only; shared leaves vmap as None
-            sv, axes = [], []
+            # per-stage leaf values, live only; shared leaves map as None
+            sv, ax_sub, ax_lane = [], [], []
             for i in s_live:
                 v = vals[i]
                 sv.append(v[k] if i in per_stage else v)
-                axes.append(None if i in shared else -1)
-            return jax.vmap(
-                lambda *a: tuple(_eval_nodot(jaxprs[k], cs_k, *a)),
-                in_axes=tuple(axes), out_axes=-1)(*sv)
+                ax_sub.append(None if i in shared else -2)
+                ax_lane.append(None if i in shared else -1)
+            fn = lambda *a: tuple(_eval_nodot(jaxprs[k], cs_k, *a))
+            # scenarios ride BOTH the sublane and the lane axis: every op
+            # in the double-vmapped trace is a full (SUBL, LANES) VPU tile
+            inner = jax.vmap(fn, in_axes=tuple(ax_lane), out_axes=-1)
+            outer = jax.vmap(inner, in_axes=tuple(ax_sub), out_axes=-2)
+            return outer(*sv)
 
         for k in range(k0, k1):
             outs_flat = stage_lane(k)  # live outputs only, ref order
             for ref, o in zip(out_refs, outs_flat):
-                rows_i = int(np.prod(o.shape[:-1], dtype=int))
-                ref[(k - k0) * rows_i : (k - k0 + 1) * rows_i, :] = (
-                    o.reshape((rows_i, L)))
+                rows_i = int(np.prod(o.shape[:-2], dtype=int))
+                ref[(k - k0) * rows_i : (k - k0 + 1) * rows_i, :, :] = (
+                    o.reshape((rows_i, S, L)))
 
     def bs(rows):
-        return pl.BlockSpec((rows, L), lambda i: (0, i),
+        # (rows, SUBL, LANES) block of a (rows, T//LANES, LANES) array:
+        # program i's scenarios as native (8, 128) vregs
+        return pl.BlockSpec((rows, S, L), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
     def bs_const(shape2d):
@@ -472,13 +529,13 @@ def _get_kernel(stage_derivs, N, k0, k1, lane_shapes, live, shared,
         return n_stages * int(np.prod(s[1:], dtype=int))
 
     def call(T, *packed_and_consts):
-        n_tiles = T // L
+        n_tiles = T // (S * L)
         in_specs = ([bs_const(_as2d(lane_shapes[i])) if i in shared
                      else bs(int(np.prod(lane_shapes[i], dtype=int)))
                      for i in live]
                     + [bs_const(_as2d(cs)) for cs, _ in const_sig])
         out_shape = tuple(
-            jax.ShapeDtypeStruct((_chunk_rows(i), T), dtype)
+            jax.ShapeDtypeStruct((_chunk_rows(i), T // L, L), dtype)
             for i in out_live)
         out_specs = tuple(bs(_chunk_rows(i)) for i in out_live)
         return pl.pallas_call(
