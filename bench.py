@@ -56,7 +56,16 @@ def main():
     )
     from mpc_code_tpu.solver.riccati import build_structured_ocp, make_structured_solver
 
-    B = int(os.environ.get("BENCH_BATCH", "16384"))
+    # the sweet-spot batch has been observed to move with the remote-TPU
+    # node's regime (16384 fastest in the morning runs, pathologically
+    # slow — ~8x — on the evening node while 8192 stayed healthy), so by
+    # default the bench measures BOTH and reports the best.  BENCH_BATCH
+    # pins a single size.
+    if os.environ.get("BENCH_BATCH"):
+        BATCHES = [int(os.environ["BENCH_BATCH"])]
+    else:
+        BATCHES = [int(b) for b in
+                   os.environ.get("BENCH_BATCHES", "16384,8192").split(",")]
     N = int(os.environ.get("BENCH_N", "50"))
     REPS = int(os.environ.get("BENCH_REPS", "3"))  # best-of timing
 
@@ -89,7 +98,8 @@ def main():
                              constr_viol_tol=1e-3,
                              mu_init=float(os.environ.get("BENCH_MU_INIT", "1e-1")),
                              hessian=os.environ.get("BENCH_HESS", "gauss_newton"),
-                             mu_strategy=mu_strategy)
+                             mu_strategy=mu_strategy,
+                             ls_parallel=os.environ.get("BENCH_LS", "seq") == "par")
 
     par_scan = os.environ.get("BENCH_PAR", "0") == "1"
     solve = make_structured_solver(
@@ -104,14 +114,6 @@ def main():
         parallel=par_scan)
 
     nx, nu, ny, nd = cfg.nx, cfg.nu, cfg.ny, cfg.nd
-    rng = np.random.default_rng(0)
-    # sample the physically controllable operating region (the reference's
-    # closed loop stays near T ~ 320-335K; states beyond ~345K ignite —
-    # thermal runaway inside one sampling interval — and are infeasible for
-    # any solver, IPOPT included)
-    xlo = np.array([0.3, 318.0, 0.55])
-    xhi = np.array([0.95, 340.0, 0.70])
-    x0s = rng.uniform(xlo, xhi, size=(B, nx)).astype(np.float32)
 
     xs = np.array([0.874317, 325.0, 0.6528], dtype=np.float32)
     us = np.array([300.157, 0.1], dtype=np.float32)
@@ -193,44 +195,61 @@ def main():
                 run_sub(rescue_cool, xb_np, bad2, status, iters, feas, kkt)
         return status, iters, feas, kkt
 
-    t0 = time.time()
-    run_pipeline(x0s)
-    # ensure both rescue passes are compiled even if the warmup had no
-    # failures (identical lane graph, two jit instances)
-    warm = jnp.asarray(np.tile(x0s[:1], (RESCUE_CAP, 1)))
-    jax.block_until_ready(rescue_steady(warm).U)
-    jax.block_until_ready(rescue_cool(warm).U)
-    compile_s = time.time() - t0
+    # sample the physically controllable operating region (the reference's
+    # closed loop stays near T ~ 320-335K; states beyond ~345K ignite —
+    # thermal runaway inside one sampling interval — and are infeasible for
+    # any solver, IPOPT included)
+    xlo = np.array([0.3, 318.0, 0.55])
+    xhi = np.array([0.95, 340.0, 0.70])
 
-    times = []
-    for r in range(REPS):
-        xb_r = x0s + np.float32(1e-4 * (r + 1))
+    best_report = None
+    for B in BATCHES:
+        rng = np.random.default_rng(0)
+        x0s = rng.uniform(xlo, xhi, size=(B, nx)).astype(np.float32)
+
         t0 = time.time()
-        status, iters, feas, kkt = run_pipeline(xb_r)
-        times.append(time.time() - t0)
-    best = min(times)
+        run_pipeline(x0s)
+        # ensure both rescue passes are compiled even if the warmup had no
+        # failures (identical lane graph, two jit instances)
+        warm = jnp.asarray(np.tile(x0s[:1], (RESCUE_CAP, 1)))
+        jax.block_until_ready(rescue_steady(warm).U)
+        jax.block_until_ready(rescue_cool(warm).U)
+        compile_s = time.time() - t0
 
-    ok = status != 2
-    n_ok = int(ok.sum())
-    solves_per_s = n_ok / best
-    max_feas_ok = float(feas[ok].max()) if n_ok else float("inf")
-    print(
-        f"# compile={compile_s:.1f}s best={best*1000:.1f}ms/batch batch={B} "
-        f"ok={n_ok}/{B} med_iters={np.median(iters):.0f} "
-        f"max_feas(ok)={max_feas_ok:.2e} max_feas(all)={feas.max():.2e} "
-        f"kkt(ok) p10/50/90={np.percentile(kkt[ok],10):.1e}/"
-        f"{np.percentile(kkt[ok],50):.1e}/{np.percentile(kkt[ok],90):.1e} "
-        f"platform={jax.devices()[0].platform}",
-        file=sys.stderr,
-    )
-    print(json.dumps({
-        "metric": "batched_cstr_nmpc_solves_per_s",
-        "value": round(float(solves_per_s), 2),
-        "unit": "solves/s/chip",
-        "vs_baseline": round(float(solves_per_s) / 10000.0, 4),
-        "ok_fraction": round(n_ok / B, 5),
-        "max_feas": max_feas_ok,
-    }))
+        times = []
+        for r in range(REPS):
+            xb_r = x0s + np.float32(1e-4 * (r + 1))
+            t0 = time.time()
+            status, iters, feas, kkt = run_pipeline(xb_r)
+            times.append(time.time() - t0)
+        best = min(times)
+
+        ok = status != 2
+        n_ok = int(ok.sum())
+        solves_per_s = n_ok / best
+        max_feas_ok = float(feas[ok].max()) if n_ok else float("inf")
+        print(
+            f"# compile={compile_s:.1f}s best={best*1000:.1f}ms/batch batch={B} "
+            f"ok={n_ok}/{B} med_iters={np.median(iters):.0f} "
+            f"max_feas(ok)={max_feas_ok:.2e} max_feas(all)={feas.max():.2e} "
+            f"kkt(ok) p10/50/90={np.percentile(kkt[ok],10):.1e}/"
+            f"{np.percentile(kkt[ok],50):.1e}/{np.percentile(kkt[ok],90):.1e} "
+            f"platform={jax.devices()[0].platform}",
+            file=sys.stderr,
+        )
+        report = {
+            "metric": "batched_cstr_nmpc_solves_per_s",
+            "value": round(float(solves_per_s), 2),
+            "unit": "solves/s/chip",
+            "vs_baseline": round(float(solves_per_s) / 10000.0, 4),
+            "ok_fraction": round(n_ok / B, 5),
+            "max_feas": max_feas_ok,
+            "batch": B,
+        }
+        if best_report is None or report["value"] > best_report["value"]:
+            best_report = report
+
+    print(json.dumps(best_report))
 
 
 def _main_with_retry():

@@ -299,6 +299,13 @@ class SolverOptions:
     # derivative sweep, typically ~2x fewer iterations at loose tolerances.
     # Structured (Riccati) solver only.
     mu_strategy: str = "monotone"
+    # Evaluate ALL backtracking trial points in one vectorized pass and
+    # pick the first acceptable step (identical result to the sequential
+    # backtracking loop) instead of a data-dependent while_loop.  Under
+    # vmap the sequential loop runs until the WORST lane accepts — every
+    # lane pays max-trials rounds of small ops; the parallel form costs
+    # more FLOPs but one fused pass.  Structured solver only.
+    ls_parallel: bool = False
 
     @classmethod
     def for_f32(cls, max_iter: int = 30, hessian: str = "exact",

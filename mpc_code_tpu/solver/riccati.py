@@ -1077,14 +1077,15 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
     v_stage = jax.vmap(stage_derivs, in_axes=(0, 0, 0, None, 0, 0, 0))
     ks = jnp.arange(N)
 
-    # full-output sweep as one fused Pallas kernel per 128-lane tile under
+    # full-output sweep as one fused Pallas kernel per batch tile under
     # vmap on TPU/f32 (identical per-lane semantics to v_stage; see
-    # sweep_kernel.py).  Only the generic path — the opt-in lane-packed
-    # fast paths keep their own sweep structure.
-    from mpc_code_tpu.solver.sweep_kernel import make_stage_sweep
+    # sweep_kernel.py).  Strictly OPT-IN: the wrapper changes XLA's fusion
+    # even when its rule falls back to the plain sweep (chip-measured 14x
+    # cliff at B=16384 — sweep_kernel.sweep_opt_in docstring).
+    from mpc_code_tpu.solver.sweep_kernel import make_stage_sweep, sweep_opt_in
 
     sweep_full = (make_stage_sweep(stage_derivs, N)
-                  if not fast_sweep else None)
+                  if (not fast_sweep and sweep_opt_in()) else None)
 
     from mpc_code_tpu.solver.riccati_kernel import make_riccati_kkt
 
@@ -1228,9 +1229,12 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 H, gc, E, ival, Cz, hval = v_stage(
                     X[:N], U, ks, p, st.lam, st.nus, st.mu_h)
                 dval, A, B = s.stage_dyn_jac(X[:N], U, p)
-            else:
+            elif sweep_full is not None:
                 H, gc, A, B, E, ival, Cz, hval, dval = sweep_full(
                     X[:N], U, p, st.lam, st.nus, st.mu_h)
+            else:
+                H, gc, A, B, E, ival, Cz, hval, dval = v_stage(
+                    X[:N], U, ks, p, st.lam, st.nus, st.mu_h)
             # residuals at the iterate, assembled from the sweep's primal
             # values (dval/ival/hval are the dynamics/inequality/equality
             # evaluations jacfwd already produced — no second rollout)
@@ -1768,11 +1772,12 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             # extra rollout
             c_norm_capped = capped(r_d, r_i, r_T, r_h)
 
-            def ls_body(c):
+            def ls_body(c, alpha_override=None):
                 # ONE residual rollout per trial point feeds both the merit
                 # test and the feasibility-restoration fallback
                 j, _, _ = c
-                a = alpha_max * (0.5 ** j)
+                a = (alpha_max * (0.5 ** j) if alpha_override is None
+                     else alpha_override)
                 Xt = X.at[1:].add(a * dX[1:])
                 Ut = U + a * dU
                 St = S + a * dS
@@ -1785,10 +1790,32 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 ok = jnp.where(psi0_finite, ok_merit, ok_resto)
                 return (j + 1, ok, a)
 
-            _, accepted, alpha = lax.while_loop(
-                ls_cond, ls_body, (jnp.asarray(0, jnp.int32), near_opt, alpha_max))
-            accepted = accepted | near_opt
-            alpha = jnp.where(accepted, alpha, alpha_max * (0.5 ** _MAX_BACKTRACK))
+            if opts.ls_parallel:
+                # all trial points in ONE vectorized pass; the accepted
+                # step is the FIRST ok alpha — identical to the sequential
+                # loop's result (which stops at the first acceptance)
+                js = jnp.arange(_MAX_BACKTRACK + 1)
+                alphas = alpha_max * (jnp.asarray(0.5, dtype) ** js.astype(dtype))
+
+                def ls_trial(a):
+                    return ls_body((jnp.asarray(0, jnp.int32), False, a),
+                                   alpha_override=a)[1]
+
+                oks = jax.vmap(ls_trial)(alphas)
+                any_ok = jnp.any(oks)
+                jstar = jnp.argmax(oks)
+                accepted = any_ok | near_opt
+                alpha = jnp.where(
+                    near_opt, alpha_max,
+                    jnp.where(any_ok, alphas[jstar],
+                              alpha_max * (0.5 ** _MAX_BACKTRACK)))
+            else:
+                _, accepted, alpha = lax.while_loop(
+                    ls_cond, ls_body,
+                    (jnp.asarray(0, jnp.int32), near_opt, alpha_max))
+                accepted = accepted | near_opt
+                alpha = jnp.where(accepted, alpha,
+                                  alpha_max * (0.5 ** _MAX_BACKTRACK))
             alpha = jnp.where(solvable, alpha, 0.0)
             delta_floor = 1e-6 if parallel else 0.0
             delta_n = jnp.where(solvable,

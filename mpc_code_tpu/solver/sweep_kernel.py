@@ -65,6 +65,19 @@ _SUBL = int(os.environ.get("MPC_TPU_SWEEP_SUBLANES", "8"))
 _STAGE_KEYS = ("px", "py")  # p-dict leaves indexed by the stage number
 
 
+def sweep_opt_in() -> bool:
+    """True when the fused-sweep path is requested at all.
+
+    The custom_vmap wrapper is NOT graph-neutral even when its rule falls
+    back to the plain vmapped sweep: at B=16384 the wrapped bench graph ran
+    ~14x slower on chip (7.3 s vs 0.94 s/batch) while B=8192 was slightly
+    FASTER (520 vs 606 ms) — a fusion/peak-memory cliff in how XLA handles
+    the rule-generated nest.  The solver therefore only wraps the sweep
+    when the kernel is explicitly requested."""
+    return (os.environ.get("MPC_TPU_SWEEP_PALLAS", "0") == "1"
+            or os.environ.get("MPC_TPU_PALLAS_INTERPRET", "0") == "1")
+
+
 def _use_pallas(dtype) -> bool:
     """OPT-IN (MPC_TPU_SWEEP_PALLAS=1), unlike the Riccati kernel.
 
