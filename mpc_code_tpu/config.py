@@ -93,12 +93,20 @@ class LinearPlant:
 
 @dataclass
 class ContinuousPlant:
-    """Plant as continuous-time ODE (reference: Utilities.py:58-82)."""
+    """Plant as continuous-time ODE (reference: Utilities.py:58-82).
+
+    clip_lo/clip_hi optionally saturate the ODE *input* state before
+    evaluating fx — the same stability guard as ContinuousModel (the
+    reference's own tank-model pattern, Ex_NMPC_dis.py:75-77); needed for
+    stiff plants (Arrhenius ignition) simulated in f32 on TPU.
+    """
 
     fx: Callable  # fx(x, t, u, pxp, pxmp) -> dx/dt   (note reference arg order)
     Mx: int = 10
     fy: Optional[Callable] = None  # fy(x, u, t, pyp, pymp) -> y
     Cp: Optional[Array] = None
+    clip_lo: Optional[Array] = None
+    clip_hi: Optional[Array] = None
 
 
 @dataclass

@@ -191,7 +191,23 @@ def build_plant(cfg: MPCConfig, model: ModelFns) -> PlantFns:
             return Ap @ x + Bp @ u + pxp + pxmp                # Utilities.py:48
 
     elif isinstance(p, ContinuousPlant):
-        integ = rk4(lambda xx, tt, uu, pp, pm: p.fx(xx, tt, uu, pp, pm), p.Mx)
+        if p.clip_lo is not None or p.clip_hi is not None:
+            plo = (jnp.asarray(p.clip_lo, dtype=float)
+                   if p.clip_lo is not None else -jnp.inf)
+            phi = (jnp.asarray(p.clip_hi, dtype=float)
+                   if p.clip_hi is not None else jnp.inf)
+            user_fxp = p.fx
+
+            def _fxp_sat(xx, tt, uu, pp, pm):
+                # ODE-input saturation (same guard as ContinuousModel;
+                # reference pattern Ex_NMPC_dis.py:75-77)
+                return user_fxp(jnp.clip(xx, plo, phi), tt, uu, pp, pm)
+
+            fxp_eval = _fxp_sat
+        else:
+            fxp_eval = p.fx
+        integ = rk4(lambda xx, tt, uu, pp, pm: fxp_eval(xx, tt, uu, pp, pm),
+                    p.Mx)
 
         def fxp(x, u, pxp, t, k, pxmp):
             out = integ(x, t, k, u, pxp, pxmp)                 # Utilities.py:58-75

@@ -99,3 +99,42 @@ def test_check_numerics_mode():
             ClosedLoop(bad).run()
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_continuous_plant_clip_guard():
+    """ContinuousPlant clip_lo/clip_hi saturates the ODE input state (the
+    reference's own stability-guard pattern, Ex_NMPC_dis.py:75-77) — an
+    exploding plant stays finite with the guard and overflows without."""
+    from mpc_code_tpu.config import ContinuousPlant
+    from mpc_code_tpu.models.model import build_plant
+
+    def fxp(x, t, u, pxp, pxmp):
+        # super-linear growth: x' = x^3 (finite-time blowup from x0=2)
+        return x ** 3
+
+    base = MPCConfig(
+        nx=1, nxp=1, nu=1, ny=1, nd=0, Nsim=1, N=2, h=1.0,
+        model=LinearModel(A=np.eye(1), B=np.eye(1), C=np.eye(1)),
+        plant=ContinuousPlant(fx=fxp, Mx=10, Cp=np.eye(1)),
+        x0_p=2.0 * np.ones(1), x0_m=2.0 * np.ones(1), u0=np.zeros(1),
+        ss_cost=SSCost(Qss=np.eye(1), Rss=np.zeros((1, 1))),
+        stage_cost=StageCost(Q=np.eye(1), R=np.eye(1)),
+        estimator=EstimatorConfig(kind="kalss"),
+    )
+    from mpc_code_tpu.models import build_model
+
+    mdl = build_model(base)
+    plant = build_plant(base, mdl)
+    # signature fx(x, u, pxp, t, h, pxmp) — 5th slot is the step length
+    x_bad = plant.fx(jnp.ones(1) * 2.0, jnp.zeros(1), jnp.zeros(1),
+                     0.0, 1.0, jnp.zeros(1))
+    assert not np.isfinite(np.asarray(x_bad)).all()
+
+    import dataclasses as dc
+
+    guarded = base.replace(plant=dc.replace(
+        base.plant, clip_lo=np.array([-2.5]), clip_hi=np.array([2.5])))
+    plant_g = build_plant(guarded, mdl)
+    x_ok = plant_g.fx(jnp.ones(1) * 2.0, jnp.zeros(1), jnp.zeros(1),
+                      0.0, 1.0, jnp.zeros(1))
+    assert np.isfinite(np.asarray(x_ok)).all()

@@ -18,6 +18,12 @@ import numpy as np  # noqa: E402
 
 
 def main():
+    # the lane-packed sweep wins in THIS regime (warm-started B=1024 steps:
+    # chip A/B 880 steps/s vs 699 default / 781 unroll-only / 595 both) even
+    # though it loses on the big cold-start bench batches — engage it for
+    # this tool unless the caller overrides
+    os.environ.setdefault("MPC_TPU_FAST_SWEEP", "1")
+
     import jax
 
     jax.config.update("jax_default_matmul_precision", "highest")

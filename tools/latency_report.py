@@ -54,10 +54,19 @@ def main():
 
             import numpy as np_
 
-            cfg = cfg.replace(model=dc.replace(
-                cfg.model,
-                clip_lo=np_.array([0.0, 280.0, 0.4]),
-                clip_hi=np_.array([2.0, 420.0, 1.0])))
+            cfg = cfg.replace(
+                model=dc.replace(
+                    cfg.model,
+                    clip_lo=np_.array([0.0, 280.0, 0.4]),
+                    clip_hi=np_.array([2.0, 420.0, 1.0])),
+                # the PLANT integrates the same Arrhenius ODE — without the
+                # guard a marginally different f32 control sequence can
+                # ignite the simulated plant inside one interval (exact
+                # rounding depends on XLA fusion, e.g. RK4 scan vs unroll)
+                plant=dc.replace(
+                    cfg.plant,
+                    clip_lo=np_.array([0.0, 280.0, 0.4]),
+                    clip_hi=np_.array([2.0, 420.0, 1.0])))
     H = ClosedLoop(cfg).run()
     for key, label in (("TIME_SS", "target"), ("TIME_DYN", "OCP")):
         t = np.asarray(H[key])[2:]  # drop compile-affected steps
