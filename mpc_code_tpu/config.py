@@ -309,10 +309,12 @@ class SolverOptions:
     mu_strategy: str = "monotone"
     # Evaluate ALL backtracking trial points in one vectorized pass and
     # pick the first acceptable step (identical result to the sequential
-    # backtracking loop) instead of a data-dependent while_loop.  Under
-    # vmap the sequential loop runs until the WORST lane accepts — every
-    # lane pays max-trials rounds of small ops; the parallel form costs
-    # more FLOPs but one fused pass.  Structured solver only.
+    # backtracking loop) instead of a data-dependent while_loop.
+    # Chip-measured on the bench (B=16384, N=50): 2x SLOWER (1800 vs
+    # 914 ms/batch) — the 21-trial evaluation costs far more than the
+    # batched while's sequential rounds, so it stays off by default;
+    # useful only if a workload's line search backtracks deeply on most
+    # iterations.  Structured solver only.
     ls_parallel: bool = False
 
     @classmethod

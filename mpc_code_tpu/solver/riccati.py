@@ -1298,12 +1298,19 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             e_stat = jnp.maximum(jnp.max(jnp.abs(rx), initial=0.0),
                                  jnp.maximum(jnp.max(jnp.abs(ru), initial=0.0),
                                              jnp.max(jnp.abs(rs), initial=0.0)))
+            # a NaN stationarity residual (f32 overflow in a transient
+            # iterate's gradients — observed on chip under Mehrotra) must
+            # read as "not converged", not poison kkt_err/best-iterate
+            # bookkeeping: NaN compares false everywhere, which would leave
+            # kkt0 NaN in the result
+            e_stat = jnp.where(jnp.isnan(e_stat), jnp.inf, e_stat)
             e_feas = jnp.maximum(jnp.max(jnp.abs(r_d), initial=0.0),
                                  jnp.max(jnp.abs(r_i), initial=0.0))
             if termcons:
                 e_feas = jnp.maximum(e_feas, jnp.max(jnp.abs(r_T), initial=0.0))
             if eqcons:
                 e_feas = jnp.maximum(e_feas, jnp.max(jnp.abs(r_h), initial=0.0))
+            e_feas = jnp.where(jnp.isnan(e_feas), jnp.inf, e_feas)
             scale = jnp.maximum(100.0, (jnp.sum(jnp.abs(st.lam)) + jnp.sum(jnp.abs(st.nus))
                                         + jnp.sum(st.zlx + st.zux) + jnp.sum(st.zlu + st.zuu)
                                         + jnp.sum(st.zls + st.zus))
