@@ -18,8 +18,11 @@ hardware measurement (they share host cores) — it validates mechanics.
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
