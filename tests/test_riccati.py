@@ -568,3 +568,48 @@ def _check_fast_vs_generic(cfg, name, x0s, xs, us, N, d):
             == np.asarray(res[False].iters)).all(), name
     assert np.abs(np.asarray(res[True].U)
                   - np.asarray(res[False].U)).max() < 1e-10, name
+
+
+def test_parallel_line_search_bit_identical():
+    """SolverOptions.ls_parallel evaluates all backtracking trials in one
+    vectorized pass; the selected step (first acceptable alpha) and hence
+    the whole solve must be BIT-identical to the sequential loop (f64)."""
+    import dataclasses as dc
+
+    from mpc_code_tpu.examples.nmpc import make_config
+    from mpc_code_tpu.models import (
+        build_model, build_stage_cost, build_terminal_cost,
+    )
+
+    N = 12
+    cfg = make_config().replace(N=N, R_wn=None)
+    cfg = cfg.replace(model=dc.replace(
+        cfg.model,
+        clip_lo=np.array([0.0, 280.0, 0.4]),
+        clip_hi=np.array([2.0, 420.0, 1.0])))
+    model = build_model(cfg)
+    socp = build_structured_ocp(cfg, model, build_stage_cost(cfg.stage_cost),
+                                build_terminal_cost(cfg))
+    xs = jnp.asarray([0.874317, 325.0, 0.6528])
+    us = jnp.asarray([300.157, 0.1])
+    rng = np.random.default_rng(11)
+    x0s = jnp.asarray(rng.uniform([0.35, 318.0, 0.56],
+                                  [0.92, 339.0, 0.69], (12, 3)))
+
+    res = {}
+    for par_ls in (False, True):
+        solve = make_structured_solver(
+            socp, SolverOptions(max_iter=40, tol=1e-8,
+                                hessian="gauss_newton", ls_parallel=par_ls))
+
+        def lane(x0):
+            p = dict(x0=x0, xs=xs, us=us, d=jnp.asarray([0.0, 0.1]), um1=us,
+                     t=jnp.asarray(0.0), lam=jnp.zeros((cfg.ny, cfg.nu)),
+                     px=jnp.zeros((N, cfg.npx)), py=jnp.zeros((N, cfg.npy)))
+            return solve(p, jnp.tile(x0, (N + 1, 1)), jnp.tile(us, (N, 1)))
+
+        res[par_ls] = jax.jit(jax.vmap(lane))(x0s)
+    for f in ("U", "X", "status", "iters", "kkt_err", "feas_err"):
+        a = np.asarray(getattr(res[False], f)).astype(np.float64)
+        b = np.asarray(getattr(res[True], f)).astype(np.float64)
+        assert np.array_equal(a, b), f
