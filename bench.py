@@ -223,6 +223,7 @@ def main():
             status, iters, feas, kkt = run_pipeline(xb_r)
             times.append(time.time() - t0)
         best = min(times)
+        med_t = float(np.median(times))
 
         ok = status != 2
         n_ok = int(ok.sum())
@@ -245,6 +246,10 @@ def main():
             "ok_fraction": round(n_ok / B, 5),
             "max_feas": max_feas_ok,
             "batch": B,
+            # dispersion, so consumers see run-to-run variance, not just
+            # the best: median over the same reps + rep count
+            "median": round(float(n_ok / med_t), 2),
+            "n_reps": REPS,
         }
         if best_report is None or report["value"] > best_report["value"]:
             best_report = report
@@ -254,7 +259,9 @@ def main():
     # 7.3 s vs 0.94 s/batch for the same graph minutes apart).  If the
     # measurement lands below the 10k target, re-exec ONCE — a fresh
     # process can land on a healthy node, and the compile cache makes the
-    # retry cheap.  The retry's number is reported as-is either way.
+    # retry cheap.  Selection-transparent: the retry's JSON carries
+    # `retried: true` plus the discarded first reading, so consumers see
+    # that outcome-conditioned resampling occurred.
     if (best_report["value"] < 10000.0
             and len(BATCHES) > 1  # default config only, not pinned sizes
             and os.environ.get("_BENCH_SLOW_RETRY") != "1"
@@ -263,8 +270,15 @@ def main():
               file=sys.stderr)
         env = dict(os.environ)
         env["_BENCH_SLOW_RETRY"] = "1"
+        env["_BENCH_FIRST_READING"] = str(best_report["value"])
         os.execve(sys.executable,
                   [sys.executable, os.path.abspath(__file__)], env)
+
+    if os.environ.get("_BENCH_SLOW_RETRY") == "1":
+        best_report["retried"] = True
+        first = os.environ.get("_BENCH_FIRST_READING")
+        if first is not None:
+            best_report["discarded_first_reading"] = float(first)
 
     print(json.dumps(best_report))
 

@@ -1800,8 +1800,11 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             if opts.ls_parallel:
                 # all trial points in ONE vectorized pass; the accepted
                 # step is the FIRST ok alpha — identical to the sequential
-                # loop's result (which stops at the first acceptance)
-                js = jnp.arange(_MAX_BACKTRACK + 1)
+                # loop's result (which stops at the first acceptance).  The
+                # trial set matches the sequential loop exactly: j=0..19
+                # (ls_cond tests j < _MAX_BACKTRACK), with the shared
+                # unaccepted fallback alpha_max * 0.5**_MAX_BACKTRACK below.
+                js = jnp.arange(_MAX_BACKTRACK)
                 alphas = alpha_max * (jnp.asarray(0.5, dtype) ** js.astype(dtype))
 
                 def ls_trial(a):

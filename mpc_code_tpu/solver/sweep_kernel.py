@@ -29,13 +29,12 @@ future Mosaic versions.  Design:
 - stage-indexed parameters: `build_structured_ocp`'s stage functions index
   `p["px"][k]` / `p["py"][k]` with the stage index k, and also read row 0
   (`p["py"][0]`, the reference's target-output convention; `p["px"][0]`,
-  the collocation stage-0 freeze quirk, Control_Calc.py:473-474).  The
-  kernel presents a 2-row clamp view `stack([row0, row_k])` per stage:
-  `[0]` reads row0 and `[k]` reads row_k for every k because
-  `lax.dynamic_slice` clamps out-of-range starts.  With k uniform per
-  stage (python loop, not a stage vmap) the select stays a plain
-  dynamic_slice — Mosaic has no >2D gather, which a stage-vmapped select
-  would become.
+  the collocation stage-0 freeze quirk, Control_Calc.py:473-474).  Mosaic
+  (this version) lowers neither `gather` nor `dynamic_slice`, so the stage
+  function is traced once PER STAGE with a STATIC python stage index k
+  (`_stage_jaxprs_cached`): every stage-indexed access becomes a static
+  row slice inside that stage's jaxpr, and the kernel is a static python
+  loop over the N per-stage jaxprs.
 - zero-size leaves (no user equalities/inequalities, empty px/py, ...) are
   baked into the stage jaxpr as unused constants — Mosaic rejects
   zero-size vectors, so they must never materialize inside the kernel.
@@ -52,8 +51,8 @@ See /opt/skills/guides/pallas_guide.md for the kernel-programming model.
 
 from __future__ import annotations
 
-import functools
 import os
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -387,8 +386,31 @@ def _stage_shapes(treedef, lane_shapes, N):
     return tuple(out)
 
 
-@functools.lru_cache(maxsize=None)
+# Both per-solver caches are keyed WEAKLY on the stage_derivs closure:
+# with a plain lru_cache every solver instance ever built would pin its
+# traced jaxprs / pallas_call builders for the process lifetime (unbounded
+# growth in long-lived hosts that construct many solvers).  The sub-key
+# (shapes/dtype/flags) lives in a dict attached to the weak entry, so the
+# whole cache line dies with the solver's stage function.
+_CACHE_BY_FN = weakref.WeakKeyDictionary()
+
+
+def _fn_cache(fn, tag, key, build):
+    per_fn = _CACHE_BY_FN.setdefault(fn, {})
+    per_tag = per_fn.setdefault(tag, {})
+    if key not in per_tag:
+        per_tag[key] = build()
+    return per_tag[key]
+
+
 def _stage_jaxprs_cached(stage_derivs, treedef, lane_shapes, N, dtype_name):
+    key = (treedef, lane_shapes, N, dtype_name)
+    return _fn_cache(stage_derivs, "jaxprs", key,
+                     lambda: _stage_jaxprs_impl(stage_derivs, treedef,
+                                                lane_shapes, N, dtype_name))
+
+
+def _stage_jaxprs_impl(stage_derivs, treedef, lane_shapes, N, dtype_name):
     """Trace stage_derivs once PER STAGE with a static stage index.
 
     Mosaic (this version) lowers neither `gather` nor `dynamic_slice`, so
@@ -464,10 +486,21 @@ def _stage_jaxprs(stage_derivs, treedef, lane_shapes, N, dtype):
                                 np.dtype(dtype).name)
 
 
-@functools.lru_cache(maxsize=None)
 def _get_kernel(stage_derivs, N, k0, k1, lane_shapes, live, shared,
                 out_lane_shapes, out_live, const_sig, treedef, dtype_name,
                 interpret):
+    key = (N, k0, k1, lane_shapes, live, shared, out_lane_shapes, out_live,
+           const_sig, treedef, dtype_name, interpret)
+    return _fn_cache(stage_derivs, "kernel", key,
+                     lambda: _get_kernel_impl(
+                         stage_derivs, N, k0, k1, lane_shapes, live, shared,
+                         out_lane_shapes, out_live, const_sig, treedef,
+                         dtype_name, interpret))
+
+
+def _get_kernel_impl(stage_derivs, N, k0, k1, lane_shapes, live, shared,
+                     out_lane_shapes, out_live, const_sig, treedef,
+                     dtype_name, interpret):
     """Build the pallas_call for stages [k0, k1) of one (stage function,
     shapes) signature.
 

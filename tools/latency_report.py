@@ -68,6 +68,23 @@ def main():
                     clip_lo=np_.array([0.0, 280.0, 0.4]),
                     clip_hi=np_.array([2.0, 420.0, 1.0])))
     H = ClosedLoop(cfg).run()
+    if getattr(cfg.plant, "clip_lo", None) is not None:
+        # the saturation guard must only ever protect transient RK4 stage
+        # evaluations — if the CLOSED-LOOP plant trajectory itself sits on
+        # a clip bound, the run diverged (plant ignition) and the latency
+        # numbers below would be describing a broken simulation.  Fail
+        # loudly instead of reporting plausible-looking percentiles.
+        Xp = np.asarray(H["Xp"]).reshape(Nsim, -1)
+        lo = np.asarray(cfg.plant.clip_lo, float)
+        hi = np.asarray(cfg.plant.clip_hi, float)
+        margin = 1e-6 * np.maximum(1.0, np.abs(hi - lo))
+        saturated = (Xp <= lo + margin) | (Xp >= hi - margin)
+        if saturated.any():
+            k_bad, i_bad = np.argwhere(saturated)[0]
+            raise SystemExit(
+                f"plant state hit its saturation bound (step {k_bad}, state "
+                f"{i_bad}, value {Xp[k_bad, i_bad]:.6g}): the closed loop "
+                "diverged — latency percentiles would be meaningless")
     for key, label in (("TIME_SS", "target"), ("TIME_DYN", "OCP")):
         t = np.asarray(H[key])[2:]  # drop compile-affected steps
         if not len(t):
