@@ -123,10 +123,12 @@ def main():
 
     u_cool = np.array([295.0, 0.1], dtype=np.float32)  # rescue warm start
 
-    def make_lane(u_ws, solve=solve):
-        u_ws = jnp.asarray(u_ws)
-
-        def lane(x0):
+    def make_lane(solve=solve):
+        # u_ws enters as an ARGUMENT (not a baked constant) so the two
+        # rescue stages (steady / coolhold warm starts) share ONE compiled
+        # executable — compile time is a first-class cost on the remote
+        # toolchain (VERDICT round-3 item 7)
+        def lane(x0, u_ws):
             par = dict(
                 x0=x0,
                 xs=jnp.asarray(xs), us=jnp.asarray(us),
@@ -151,15 +153,29 @@ def main():
             U0 = jnp.tile(u_ws, (N, 1))
             return solve(par, X0, U0)
 
-        return jax.jit(jax.vmap(lane))
+        return jax.jit(jax.vmap(lane, in_axes=(0, None)))
 
-    batched = make_lane(us)
-    # two rescue stages on the failed set: (a) same steady warm start with
-    # the full iteration budget — catches lanes that merely needed more
-    # than the pass-1 cap; (b) coolhold warm start — catches hot initial
-    # states whose steady-input rollout ignites and poisons the warm start
-    rescue_steady = make_lane(us, solve=solve_rescue)
-    rescue_cool = make_lane(u_cool, solve=solve_rescue)
+    _batched = make_lane()
+    us_j = jnp.asarray(us)
+    u_cool_j = jnp.asarray(u_cool)
+
+    def batched(xb):
+        return _batched(xb, us_j)
+
+    # two rescue stages on the failed set, SHARING one compiled
+    # executable (the warm-start input is an argument): (a) same steady
+    # warm start with the full iteration budget — catches lanes that
+    # merely needed more than the pass-1 cap; (b) coolhold warm start —
+    # catches hot initial states whose steady-input rollout ignites and
+    # poisons the warm start
+    _rescue = make_lane(solve=solve_rescue)
+
+    def rescue_steady(xb):
+        return _rescue(xb, us_j)
+
+    def rescue_cool(xb):
+        return _rescue(xb, u_cool_j)
+
     RESCUE_CAP = int(os.environ.get("BENCH_RESCUE_CAP", "512"))
 
     def run_sub(fn, xb_np, sel_all, status, iters, feas, kkt):
@@ -203,17 +219,26 @@ def main():
     xhi = np.array([0.95, 340.0, 0.70])
 
     best_report = None
-    for B in BATCHES:
+    for bi, B in enumerate(BATCHES):
+        if (bi > 0 and best_report is not None
+                and best_report["value"] >= 10000.0
+                and os.environ.get("BENCH_ALL_BATCHES", "0") != "1"):
+            # secondary batch sizes exist only as insurance against the
+            # sweet spot moving with the remote node's regime — when the
+            # primary size already clears the target, skip their compiles
+            # (~half the bench's compile bill, VERDICT round-3 item 7)
+            print(f"# batch={B} skipped (primary already >= target; "
+                  "BENCH_ALL_BATCHES=1 forces it)", file=sys.stderr)
+            continue
         rng = np.random.default_rng(0)
         x0s = rng.uniform(xlo, xhi, size=(B, nx)).astype(np.float32)
 
         t0 = time.time()
         run_pipeline(x0s)
-        # ensure both rescue passes are compiled even if the warmup had no
-        # failures (identical lane graph, two jit instances)
+        # ensure the (shared) rescue executable is compiled even if the
+        # warmup had no failures
         warm = jnp.asarray(np.tile(x0s[:1], (RESCUE_CAP, 1)))
         jax.block_until_ready(rescue_steady(warm).U)
-        jax.block_until_ready(rescue_cool(warm).U)
         compile_s = time.time() - t0
 
         times = []

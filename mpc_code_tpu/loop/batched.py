@@ -69,6 +69,10 @@ class MPCCarry(NamedTuple):
     t: jnp.ndarray       # time
     mhe: Any = None      # MHECarry window state (kind='mhe' only)
     lam: Any = None      # modifier-adaptation lambda (Adaptation only)
+    # dual/barrier warm-start state for the structured OCP solver (dict
+    # with zl/zu/lam/nus/mu/sf/ok, shifted one stage per step like the
+    # primal warm start; None = dual warm start disabled)
+    duals: Any = None
 
 
 class MPCStepOut(NamedTuple):
@@ -91,8 +95,13 @@ class MPCStepOut(NamedTuple):
 
 
 def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None,
-                  use_structured: Optional[bool] = None) -> Callable:
+                  use_structured: Optional[bool] = None,
+                  batch_hint: Optional[int] = None) -> Callable:
     """Build ``step(carry, inp=None) -> (MPCCarry, MPCStepOut)`` (pure JAX).
+
+    ``batch_hint``: expected vmap batch size over carries — selects the
+    chip-measured-faster derivative-sweep layout for that regime (see
+    riccati._fast_sweep_on).
 
     ``inp`` is a :class:`StepInput` with this instant's schedules/noise;
     when omitted a fixed default (setpoints from ``ysp/usp/xsp``, zero
@@ -132,7 +141,8 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None,
             build_structured_ocp, make_structured_solver,
         )
 
-        socp = build_structured_ocp(cfg, model, f_obj, vfin)
+        socp = build_structured_ocp(cfg, model, f_obj, vfin,
+                                    batch_hint=batch_hint)
         struct_solve = make_structured_solver(socp, cfg.sol_opts_dyn)
         ns_s = socp.ns
         nup = socp.nxa - nx - ns_s
@@ -268,7 +278,7 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None,
             carry = MPCCarry(x=x_next, xhat=xhat, dhat=dhat, P=P, u=c.u,
                              xs=c.xs, us=c.us, w_prev=c.w_prev,
                              ocp_ok=c.ocp_ok, t=t_k + cfg.h, mhe=mhe_c,
-                             lam=c.lam)
+                             lam=c.lam, duals=c.duals)
             out = MPCStepOut(x=c.x, y=y_k, yhat=yhat_k, u=c.u, xs=c.xs,
                              us=c.us, ys=yhat_k, xhat=xhat, dhat=dhat,
                              status_ss=zero_i, status_dyn=zero_i,
@@ -307,8 +317,22 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None,
                 Sl_prev = w0[nw - ns : nw][:ns_s]
                 Xg = jnp.concatenate([Xg, jnp.tile(Sl_prev, (N + 1, 1))], axis=1)
                 Ug = jnp.concatenate([Ug, jnp.tile(Sl_prev, (N, 1))], axis=1)
-            rs = struct_solve(par, Xg, Ug)
+            # dual/barrier warm start: previous step's multipliers shifted
+            # one stage (same shift as the primal, MPC_code.py:740-764
+            # extended to the dual variables); gated off after an
+            # infeasible step exactly like the primal freeze
+            duals_c = c.duals
+            rs = struct_solve(par, Xg, Ug, ws=duals_c)
             ok = rs.status != STATUS_INFEASIBLE
+            if duals_c is not None:
+                def _shift(a):
+                    return jnp.concatenate([a[1:], a[-1:]], axis=0)
+
+                duals_n = dict(zl=_shift(rs.zl), zu=_shift(rs.zu),
+                               lam=_shift(rs.lam), nus=_shift(rs.nus),
+                               mu=rs.mu, sf=rs.sf, ok=ok)
+            else:
+                duals_n = None
             u_k = jnp.where(ok, rs.U[0, :nu], c.u)        # MPC_code.py:786-805
             xhat_next = jnp.where(ok, rs.X[1, :nx],
                                   model.fx(xhat, c.u, cfg.h, dhat, t_k, px0))
@@ -331,6 +355,7 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None,
             xhat_next = jnp.where(ok, r.w[nxu : nxu + nx],
                                   model.fx(xhat, c.u, cfg.h, dhat, t_k, px0))
             w_prev = jnp.where(ok, r.w, c.w_prev)
+            duals_n = c.duals
 
         # plant update (MPC_code.py:813-827)
         x_next = plant_step(c.x, u_k)
@@ -363,7 +388,8 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None,
 
         carry = MPCCarry(x=x_next, xhat=xhat_next, dhat=dhat, P=P, u=u_k,
                          xs=xs, us=us, w_prev=w_prev, ocp_ok=ok,
-                         t=t_k + cfg.h, mhe=mhe_c, lam=lam_new)
+                         t=t_k + cfg.h, mhe=mhe_c, lam=lam_new,
+                         duals=duals_n)
         status_dyn = rs.status if use_structured else r.status
         iters_dyn = rs.iters if use_structured else r.iters
         out = MPCStepOut(x=c.x, y=y_k, yhat=yhat_k, u=u_k, xs=xs, us=us,
@@ -376,7 +402,8 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None,
     return step
 
 
-def init_carry(cfg: MPCConfig, x0=None, mhe=None, state=None) -> MPCCarry:
+def init_carry(cfg: MPCConfig, x0=None, mhe=None, state=None,
+               dual_ws: Optional[bool] = None) -> MPCCarry:
     """Initial carry mirroring the reference's loop-state init
     (MPC_code.py:442-484).
 
@@ -384,6 +411,10 @@ def init_carry(cfg: MPCConfig, x0=None, mhe=None, state=None) -> MPCCarry:
     simulation in traced mode (e.g. after the MHE growing-horizon warmup).
     ``mhe``: an ``MHECarry`` from ``make_mhe_traced``'s
     ``carry_from_runtime`` (required for estimator kind 'mhe').
+    ``dual_ws``: carry dual/barrier warm-start state for the structured
+    OCP solver (default: on whenever the config is structured-eligible —
+    chip-measured faster in the warm-started closed-loop regime).  Pass
+    ``False`` when stepping with ``use_structured=False``.
     """
     nx, nu, nd = cfg.nx, cfg.nu, cfg.nd
     naug = nx + nd if cfg.dist.offree != "no" else nx
@@ -416,9 +447,31 @@ def init_carry(cfg: MPCConfig, x0=None, mhe=None, state=None) -> MPCCarry:
     w0 = (w0.at[: N * nxu].set(body.reshape(-1))
           .at[N * nxu : N * nxu + nx].set(x0_m))   # Sl tail (if any) stays 0
     lam0 = jnp.zeros((cfg.ny, nu)) if cfg.Adaptation and not cfg.estimating else None
+    from mpc_code_tpu.solver.riccati import structured_supported
+
+    if dual_ws is None:
+        dual_ws = (not cfg.estimating) and structured_supported(cfg)
+    duals0 = None
+    if dual_ws:
+        # zero template with ok=False: step 0 runs the cold dual init and
+        # every later step warm-starts from the shifted multipliers
+        from mpc_code_tpu.models import (
+            build_model, build_stage_cost, build_terminal_cost,
+        )
+        from mpc_code_tpu.solver.riccati import build_structured_ocp
+
+        socp0 = build_structured_ocp(cfg, build_model(cfg),
+                                     build_stage_cost(cfg.stage_cost),
+                                     build_terminal_cost(cfg))
+        nzs0 = socp0.nxa + socp0.nu + socp0.ni
+        duals0 = dict(zl=jnp.zeros((N, nzs0)), zu=jnp.zeros((N, nzs0)),
+                      lam=jnp.zeros((N, socp0.nxa)),
+                      nus=jnp.zeros((N, socp0.ni)),
+                      mu=jnp.asarray(0.0), sf=jnp.asarray(1.0),
+                      ok=jnp.asarray(False))
     carry = MPCCarry(x=x0, xhat=x0_m, dhat=dhat0, P=P0, u=u0, xs=x0_m, us=u0,
                      w_prev=w0, ocp_ok=jnp.asarray(True), t=jnp.asarray(0.0),
-                     mhe=mhe, lam=lam0)
+                     mhe=mhe, lam=lam0, duals=duals0)
     if state is not None:
         def _a(v):
             return jnp.asarray(np.asarray(v, float))

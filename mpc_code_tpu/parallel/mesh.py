@@ -69,7 +69,9 @@ def batched_closed_loop(cfg: MPCConfig, x0_batch, n_steps: int,
     jit compiles estimator + target NLP + OCP NLP + plant step for every
     scenario lane.
     """
-    step = make_mpc_step(cfg, ysp=ysp, usp=usp, xsp=xsp)
+    x0_batch = jnp.asarray(x0_batch)
+    step = make_mpc_step(cfg, ysp=ysp, usp=usp, xsp=xsp,
+                         batch_hint=int(x0_batch.shape[0]))
     vstep = jax.vmap(step, in_axes=(0, None))
 
     def run(carry, inp):
@@ -78,7 +80,6 @@ def batched_closed_loop(cfg: MPCConfig, x0_batch, n_steps: int,
 
         return lax.scan(body, carry, inp, length=n_steps)
 
-    x0_batch = jnp.asarray(x0_batch)
     carry0 = jax.vmap(lambda x0: init_carry(cfg, x0))(x0_batch)
 
     if mesh is not None:

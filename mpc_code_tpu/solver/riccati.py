@@ -51,23 +51,55 @@ from mpc_code_tpu.solver.nlp import (
 
 _TAU_MIN = 0.99
 _ETA_LS = 1e-4
-_MAX_BACKTRACK = 20
+# Backtracking ladder: alpha_j = alpha_max * 0.5^e(j) with a two-phase
+# exponent e(j) = j + max(j - 4, 0) — halving for the first 4 trials
+# (identical to a plain 0.5^j ladder, so well-behaved lanes are
+# bit-unchanged), then quartering.  Reaches the same floor exponent
+# _MAX_BACKTRACK=20 in 12 trips instead of 20: the batched LS while-loop
+# runs until the SLOWEST lane accepts, and chip traces (round 4) show the
+# deep-backtracking tail lane costing ~17 ms/iteration at B=16384 — as
+# much as the whole derivative sweep.  Deep-trial lanes accept at most one
+# quarter-notch below their old alpha.
+_MAX_BACKTRACK = 20   # floor exponent: unaccepted fallback 0.5^20
+_LS_FINE = 4          # halving trials before the ladder coarsens
+_LS_TRIPS = 12        # e(_LS_TRIPS) == _MAX_BACKTRACK
+
+
+def _ls_exp(j):
+    """Two-phase ladder exponent e(j) (works on python ints and arrays)."""
+    return j + jnp.maximum(j - _LS_FINE, 0)
 _KAPPA_EPS = 10.0
 _KAPPA_MU = 0.2
 _THETA_MU = 1.5
 
 
 
-def _fast_sweep_default() -> bool:
-    """Lane-packed sweeps are OFF by default everywhere: measured ~4x
-    slower on CPU at small batches, and — once chip measurement became
-    possible (round 3, TPU v5e) — ~5% slower than the batch-major jacfwd
-    sweep on the bench workload too (6,162 vs 5,884 solves/s at B=4096
-    with RK4 unrolling on; the layout win never materialized because XLA
-    already keeps the vmapped batch on the minor axis).  Kept behind
-    MPC_TPU_FAST_SWEEP=1 for future hardware where the tradeoff may flip."""
+def _fast_sweep_on(batch_hint) -> bool:
+    """Build-time choice of the derivative-sweep layout.
+
+    The lanes-minor (lane-packed) sweep must be chosen when the OCP is
+    BUILT — wrapping the sweep in a batch-size-aware custom_vmap rule was
+    chip-measured to cripple the big-batch path even when the rule falls
+    back to the plain sweep (the wrapper changes XLA's fusion; 610 vs
+    441 ms/batch at B=16384, round 4 — same cliff as sweep_opt_in's
+    documented 14x).  Chip-measured regime table (TPU v5e): lanes-minor
+    WINS at warm-started small batches (B=1024 closed loop: 880 vs 699
+    steps/s, round 3) and LOSES at the cold big-batch bench (B>=4096) —
+    so with MPC_TPU_FAST_SWEEP unset the caller's ``batch_hint`` decides:
+    lanes-minor iff on TPU and batch_hint <= MPC_TPU_FAST_SWEEP_MAX_B
+    (default 2048).  No hint -> batch-major (the cold-bench default).
+    MPC_TPU_FAST_SWEEP=1/0 force the layout regardless of the hint."""
     env = os.environ.get("MPC_TPU_FAST_SWEEP")
-    return env == "1"
+    if env == "1":
+        return True
+    if env == "0" or batch_hint is None:
+        return False
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    max_b = int(os.environ.get("MPC_TPU_FAST_SWEEP_MAX_B", "2048"))
+    return on_tpu and int(batch_hint) <= max_b
 
 
 def structured_supported(cfg: MPCConfig) -> bool:
@@ -140,13 +172,28 @@ class StructResult(NamedTuple):
     iters: jnp.ndarray
     kkt_err: jnp.ndarray
     feas_err: jnp.ndarray
+    # final dual/barrier state for cross-solve warm starts (closed-loop
+    # regime: shift and feed back via solve(..., ws=...)); zeros-shaped
+    # placeholders when the solver ran without duals requested
+    zl: jnp.ndarray = ()      # (N, nxa+nu+ni) lower-bound duals
+    zu: jnp.ndarray = ()      # (N, nxa+nu+ni) upper-bound duals
+    lam: jnp.ndarray = ()     # (N, nxa) defect multipliers
+    nus: jnp.ndarray = ()     # (N, ni) inequality multipliers
+    mu: jnp.ndarray = ()      # final barrier parameter
+    sf: jnp.ndarray = ()      # objective scaling the duals/mu are in
 
 
 def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
                          stagewise_px: bool = False,
-                         n_colloc_newton: int = 8) -> StructuredOCP:
+                         n_colloc_newton: int = 8,
+                         batch_hint: Optional[int] = None) -> StructuredOCP:
     """Map the reference OCP (opt_dyn / opt_dyn_CM form) onto the stagewise
     structure.
+
+    ``batch_hint``: the expected vmap batch size of the solver built from
+    this OCP; picks the chip-measured-faster derivative-sweep layout for
+    that regime (see `_fast_sweep_on`).  None (default) = the cold
+    big-batch layout.
 
     Uses the same parameter pytree as `build_ocp`:
     {x0, xs, us, d, um1, t, lam, px (N,npx), py (N,npy)}.
@@ -541,7 +588,7 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
     stage_dyn_jac = None
     if ((not colloc) and (not cont_form)
             and isinstance(cfg.model, (ContinuousModel, DiscreteModel))
-            and _fast_sweep_default()):
+            and _fast_sweep_on(batch_hint)):
         from mpc_code_tpu.ops.integrators import map_stage_jac, rk4_stage_jac
 
         m = cfg.model
@@ -619,7 +666,7 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
     # rollout).  No augmentation here: ContForm forces du_coupled off, and
     # the shared-slack augmentation keeps the generic path.
     stage_cf = None
-    if cont_form and not slacks and _fast_sweep_default():
+    if cont_form and not slacks and _fast_sweep_on(batch_hint):
         from mpc_code_tpu.ops.integrators import rk4_quad_stage_hess
 
         _sw_cf = rk4_quad_stage_hess(_ode, _quad, Mx_c)
@@ -1001,12 +1048,10 @@ class _SState(NamedTuple):
     S: jnp.ndarray      # (N, ni) slacks
     lam: jnp.ndarray    # (N, nxa) defect multipliers
     nus: jnp.ndarray    # (N, ni) inequality multipliers
-    zlx: jnp.ndarray    # (N+1, nxa) bound duals (row 0 inert)
-    zux: jnp.ndarray
-    zlu: jnp.ndarray    # (N, nu)
-    zuu: jnp.ndarray
-    zls: jnp.ndarray    # (N, ni)
-    zus: jnp.ndarray
+    # bound duals for the merged primal Z = [x_{k+1} | u_k | s_k] (row k);
+    # x_0 is pinned and carries no duals by construction
+    zl: jnp.ndarray     # (N, nxa + nu + ni)
+    zu: jnp.ndarray
     mu: jnp.ndarray
     nu_pen: jnp.ndarray
     delta: jnp.ndarray
@@ -1016,6 +1061,9 @@ class _SState(NamedTuple):
     feas: jnp.ndarray
     xi: jnp.ndarray     # (n_tc,) terminal-equality multiplier
     mu_h: jnp.ndarray   # (N, n_eq) user stage-equality multipliers
+    # ls_mode='adaptive' carried step controller: last merit + step cap
+    psi_prev: jnp.ndarray
+    acap: jnp.ndarray
     # best-KKT iterate seen so far (returned if the final iterate is worse —
     # insurance against a late garbage step, e.g. a bound gap collapsing onto
     # the central path's complementarity-consistent non-stationary branch)
@@ -1044,6 +1092,10 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
     if opts.mu_strategy not in ("monotone", "adaptive", "mehrotra"):
         raise ValueError(f"unknown mu_strategy {opts.mu_strategy!r}: "
                          "use 'monotone', 'adaptive' or 'mehrotra'")
+    if opts.ls_mode not in ("backtrack", "adaptive"):
+        raise ValueError(f"unknown ls_mode {opts.ls_mode!r}: "
+                         "use 'backtrack' or 'adaptive'")
+    ls_adaptive = opts.ls_mode == "adaptive"
     if opts.hessian not in ("exact", "gauss_newton"):
         raise ValueError(f"unknown hessian {opts.hessian!r}: "
                          "use 'exact' or 'gauss_newton'")
@@ -1097,7 +1149,7 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
     def _mdiv(num, den, mask):
         return jnp.where(mask, num / jnp.where(mask, den, 1.0), 0.0)
 
-    def solve(p, X0, U0) -> StructResult:
+    def solve(p, X0, U0, ws=None) -> StructResult:
         dtype = jnp.result_type(jnp.asarray(U0).dtype, jnp.float32)
         f32 = jnp.finfo(dtype).eps > 1e-10
         tiny = 1e-30 if f32 else 1e-300
@@ -1115,6 +1167,23 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
         huu = ubu < INF
         hli = lbi > -INF
         hui = ubi < INF
+
+        # --- merged bound family: all box-bounded primal variables ride ONE
+        # (N, nzs) array Z = [x_{k+1} | u_k | s_k] (row k), so every piece of
+        # bound/dual algebra (complementarity, sigma, barrier gradient, dual
+        # steps, fraction-to-boundary, dual clipping) is a single fused op
+        # family instead of six — the IPM body's op count, not its FLOPs, is
+        # what bounds wall time at bench batch sizes (BASELINE.md round-3
+        # per-phase table).  x_0 is pinned (never has duals) and drops out
+        # naturally because Z carries X[1:].
+        nzs = nxa + nu + ni
+        lbz = jnp.concatenate([lbx, lbu, lbi])
+        ubz = jnp.concatenate([ubx, ubu, ubi])
+        hlz = lbz > -INF
+        huz = ubz < INF
+
+        def mkZ(X_, U_, S_):
+            return jnp.concatenate([X_[1:], U_, S_], axis=1)
 
         x0a = s.x0_of_p(p).astype(dtype)
         tc_tgt = s.tc_target(p).astype(dtype) if termcons else None
@@ -1163,17 +1232,50 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             zu = jnp.where(hu, jnp.clip(mu0 / jnp.where(hu, ub - z, 1.0), 1e-8, 1e8), 0.0)
             return zl, zu
 
-        zlx0, zux0 = dual_init(X_init, lbx, ubx, hlx, hux)
-        zlx0 = zlx0.at[0].set(0.0)
-        zux0 = zux0.at[0].set(0.0)
-        zlu0, zuu0 = dual_init(U_init, lbu, ubu, hlu, huu)
-        zls0, zus0 = dual_init(S_init, lbi, ubi, hli, hui)
+        zl0, zu0 = dual_init(mkZ(X_init, U_init, S_init), lbz, ubz, hlz, huz)
+        lam0 = jnp.zeros((N, nxa), dtype=dtype)
+        nus0 = jnp.zeros((N, ni), dtype=dtype)
+        if ws is not None:
+            # cross-solve dual/barrier warm start (closed-loop regime).
+            # Carried duals are in the PREVIOUS solve's objective scaling;
+            # rescale by sf_new/sf_old (stationarity and complementarity
+            # both scale linearly with sf).  ws["ok"] gates per lane under
+            # vmap (False -> cold init), mirroring IPOPT's
+            # warm_start_init_point with bound-multiplier safeguards.
+            ws_ok = ws["ok"]
+            rs = sf / jnp.maximum(jnp.asarray(ws["sf"], dtype=dtype), 1e-12)
+
+            def _sg(zw, hold):
+                zw = jnp.nan_to_num(jnp.asarray(zw, dtype=dtype) * rs,
+                                    nan=0.0, posinf=0.0, neginf=0.0)
+                return jnp.where(hold, jnp.clip(zw, 1e-8, 1e8), 0.0)
+
+            zl0 = jnp.where(ws_ok, _sg(ws["zl"], hlz), zl0)
+            zu0 = jnp.where(ws_ok, _sg(ws["zu"], huz), zu0)
+            lam_w = jnp.nan_to_num(jnp.asarray(ws["lam"], dtype=dtype) * rs,
+                                   nan=0.0, posinf=0.0, neginf=0.0)
+            lam0 = jnp.where(ws_ok, lam_w, lam0)
+            if ni:
+                nus_w = jnp.nan_to_num(jnp.asarray(ws["nus"], dtype=dtype) * rs,
+                                       nan=0.0, posinf=0.0, neginf=0.0)
+                nus0 = jnp.where(ws_ok, nus_w, nus0)
+            # floor the carried barrier at 1e-6: a converged tight-tol
+            # solve leaves mu ~ tol/10 (1e-9 at f64 defaults), and the
+            # monotone strategy can only DECREASE mu — starting the next,
+            # shifted problem that low strands the iterate off the central
+            # path (observed: closed-loop step flagged infeasible on
+            # lmpc_nlplant).  IPOPT's warm-start practice likewise re-opens
+            # mu moderately.  At the f32 bench tolerances tol/10 >= 1e-4,
+            # so this floor changes nothing there.
+            mu_w = jnp.clip(jnp.asarray(ws["mu"], dtype=dtype) * rs,
+                            jnp.maximum(opts.tol / 10.0, 1e-6), opts.mu_init)
+            mu0 = jnp.where(ws_ok, mu_w, mu0)
 
         st0 = _SState(
             X=X_init, U=U_init, S=S_init,
-            lam=jnp.zeros((N, nxa), dtype=dtype),
-            nus=jnp.zeros((N, ni), dtype=dtype),
-            zlx=zlx0, zux=zux0, zlu=zlu0, zuu=zuu0, zls=zls0, zus=zus0,
+            lam=lam0,
+            nus=nus0,
+            zl=zl0, zu=zu0,
             mu=mu0, nu_pen=jnp.asarray(1.0, dtype=dtype),
             delta=jnp.asarray(1e-6 if parallel else 0.0, dtype=dtype),
             it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
@@ -1181,6 +1283,8 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             feas=jnp.asarray(jnp.inf, dtype=dtype),
             xi=jnp.zeros(n_tc, dtype=dtype),
             mu_h=jnp.zeros((N, n_eq), dtype=dtype),
+            psi_prev=jnp.asarray(jnp.inf, dtype=dtype),
+            acap=jnp.asarray(1.0, dtype=dtype),
             bX=X_init, bU=U_init, bS=S_init,
             bkkt=jnp.asarray(jnp.inf, dtype=dtype),
             bfeas=jnp.asarray(jnp.inf, dtype=dtype),
@@ -1204,21 +1308,18 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             cs = jax.vmap(_cost, in_axes=(0, 0, 0, None))(X[:N], U, ks, p)
             return jnp.sum(cs) + _cost_N(X[N], p)
 
-        def barrier_phi(X, U, S, mu, cost_val=None):
-            def terms(z, lb, ub, hl, hu):
-                tl = jnp.where(hl, jnp.log(jnp.maximum(jnp.where(hl, z - lb, 1.0), tiny)), 0.0)
-                tu = jnp.where(hu, jnp.log(jnp.maximum(jnp.where(hu, ub - z, 1.0), tiny)), 0.0)
-                return jnp.sum(tl) + jnp.sum(tu)
+        def bar_of(Z):
+            # merged log-barrier over every held bound of Z (one op family)
+            tl = jnp.where(hlz, jnp.log(jnp.maximum(jnp.where(hlz, Z - lbz, 1.0), tiny)), 0.0)
+            tu = jnp.where(huz, jnp.log(jnp.maximum(jnp.where(huz, ubz - Z, 1.0), tiny)), 0.0)
+            return jnp.sum(tl) + jnp.sum(tu)
 
-            bar = terms(X[1:], lbx, ubx, hlx, hux) + terms(U, lbu, ubu, hlu, huu)
-            if ni:
-                bar = bar + terms(S, lbi, ubi, hli, hui)
-            if cost_val is None:
-                cost_val = total_cost(X, U)
-            return cost_val - mu * bar
+        def barrier_phi(Z, mu, cost_val):
+            return cost_val - mu * bar_of(Z)
 
         def body(st: _SState) -> _SState:
             X, U, S = st.X, st.U, st.S
+            Z = mkZ(X, U, S)
             if fast_cf:
                 E, ival, Cz, hval = v_stage(
                     X[:N], U, ks, p, st.lam, st.nus, st.mu_h)
@@ -1265,9 +1366,12 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             if termcons:
                 # terminal-equality multiplier enters x_N stationarity
                 rx = rx.at[N - 1, :n_tc].add(st.xi)
-            rx = rx - (st.zlx[1:] - st.zux[1:])
-            ru = gu_full - (st.zlu - st.zuu)
-            rs = -st.nus - (st.zls - st.zus) if ni else jnp.zeros((N, 0), dtype=dtype)
+            rs = -st.nus if ni else jnp.zeros((N, 0), dtype=dtype)
+            # merged stationarity residual on the Z layout (rows pair
+            # x_{k+1} with u_k/s_k — columns never mix, so the row pairing
+            # is immaterial for the inf-norm and the dual subtraction)
+            stat_z = (jnp.concatenate([rx, gu_full, rs], axis=1)
+                      - (st.zl - st.zu))
 
             # complementarity products' global min/max over all held bound
             # pairs: e_comp(mu) = max|c - mu| = max(cmax - mu, mu - cmin, 0),
@@ -1275,29 +1379,16 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             # reductions only once
             _inf = jnp.asarray(jnp.inf, dtype=dtype)
 
-            def comp_mm(z, zl, zu, lb, ub, hl, hu):
-                cl = (z - lb) * zl
-                cu = (ub - z) * zu
-                cmx = jnp.maximum(
-                    jnp.max(jnp.where(hl, cl, -_inf), initial=-jnp.inf),
-                    jnp.max(jnp.where(hu, cu, -_inf), initial=-jnp.inf))
-                cmn = jnp.minimum(
-                    jnp.min(jnp.where(hl, cl, _inf), initial=jnp.inf),
-                    jnp.min(jnp.where(hu, cu, _inf), initial=jnp.inf))
-                return cmx, cmn
+            cl_c = (Z - lbz) * st.zl
+            cu_c = (ubz - Z) * st.zu
+            cmax_all = jnp.maximum(
+                jnp.max(jnp.where(hlz, cl_c, -_inf), initial=-jnp.inf),
+                jnp.max(jnp.where(huz, cu_c, -_inf), initial=-jnp.inf))
+            cmin_all = jnp.minimum(
+                jnp.min(jnp.where(hlz, cl_c, _inf), initial=jnp.inf),
+                jnp.min(jnp.where(huz, cu_c, _inf), initial=jnp.inf))
 
-            cmx_x, cmn_x = comp_mm(X[1:], st.zlx[1:], st.zux[1:], lbx, ubx, hlx, hux)
-            cmx_u, cmn_u = comp_mm(U, st.zlu, st.zuu, lbu, ubu, hlu, huu)
-            if ni:
-                cmx_s, cmn_s = comp_mm(S, st.zls, st.zus, lbi, ubi, hli, hui)
-            else:
-                cmx_s, cmn_s = -_inf, _inf
-            cmax_all = jnp.maximum(cmx_x, jnp.maximum(cmx_u, cmx_s))
-            cmin_all = jnp.minimum(cmn_x, jnp.minimum(cmn_u, cmn_s))
-
-            e_stat = jnp.maximum(jnp.max(jnp.abs(rx), initial=0.0),
-                                 jnp.maximum(jnp.max(jnp.abs(ru), initial=0.0),
-                                             jnp.max(jnp.abs(rs), initial=0.0)))
+            e_stat = jnp.max(jnp.abs(stat_z), initial=0.0)
             # a NaN stationarity residual (f32 overflow in a transient
             # iterate's gradients — observed on chip under Mehrotra) must
             # read as "not converged", not poison kkt_err/best-iterate
@@ -1312,14 +1403,18 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 e_feas = jnp.maximum(e_feas, jnp.max(jnp.abs(r_h), initial=0.0))
             e_feas = jnp.where(jnp.isnan(e_feas), jnp.inf, e_feas)
             scale = jnp.maximum(100.0, (jnp.sum(jnp.abs(st.lam)) + jnp.sum(jnp.abs(st.nus))
-                                        + jnp.sum(st.zlx + st.zux) + jnp.sum(st.zlu + st.zuu)
-                                        + jnp.sum(st.zls + st.zus))
+                                        + jnp.sum(st.zl + st.zu))
                                 / (N * (nz + ni) + nxa + 1.0)) / 100.0
 
             def kkt_at(mu_v):
                 e_comp = jnp.maximum(
                     jnp.maximum(cmax_all - mu_v, mu_v - cmin_all), 0.0)
-                return jnp.maximum(e_stat / scale, jnp.maximum(e_feas, e_comp / scale)), e_feas
+                e = jnp.maximum(e_stat / scale,
+                                jnp.maximum(e_feas, e_comp / scale))
+                # scale/comp can be NaN through transient NaN duals (seen
+                # under the Mehrotra corrector on f32): read as "not
+                # converged", never as a NaN kkt_err on an accepted lane
+                return jnp.where(jnp.isnan(e), jnp.inf, e), e_feas
 
             e_mu, _ = kkt_at(st.mu)
             e_0, feas = kkt_at(jnp.zeros_like(st.mu))
@@ -1340,15 +1435,9 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 # quality_function=loqo): mu = sigma * avg-complementarity,
                 # sigma = 0.1 min(0.05 (1-xi)/xi, 2)^3 with centrality
                 # xi = min_i(c_i)/avg(c_i) over all bound products c_i.
-                def cprods(z, zl, zu, lb, ub, hl, hu):
-                    cl = jnp.where(hl, (z - lb) * zl, jnp.nan)
-                    cu = jnp.where(hu, (ub - z) * zu, jnp.nan)
-                    return jnp.concatenate([cl.ravel(), cu.ravel()])
-
                 cv = jnp.concatenate(
-                    [cprods(X[1:], st.zlx[1:], st.zux[1:], lbx, ubx, hlx, hux),
-                     cprods(U, st.zlu, st.zuu, lbu, ubu, hlu, huu)]
-                    + ([cprods(S, st.zls, st.zus, lbi, ubi, hli, hui)] if ni else []))
+                    [jnp.where(hlz, cl_c, jnp.nan).ravel(),
+                     jnp.where(huz, cu_c, jnp.nan).ravel()])
                 cm = jnp.isfinite(cv)
                 m_cnt = jnp.sum(cm)
                 avg_c = jnp.sum(jnp.where(cm, cv, 0.0)) / jnp.maximum(m_cnt, 1)
@@ -1363,18 +1452,20 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             # barrier gradient bg is built per-direction from COMPONENTWISE
             # complementarity targets (numerators), so the Mehrotra corrector
             # can inject its mu - dprim*dz second-order terms
-            def sig_of(z, zl, zu, lb, ub, hl, hu):
-                return _mdiv(zl, z - lb, hl) + _mdiv(zu, ub - z, hu)
+            def bg_of(Zc, tl, tu):
+                one = jnp.ones_like(Zc)
+                return (_mdiv(tl * one, Zc - lbz, hlz)
+                        - _mdiv(tu * one, ubz - Zc, huz))
 
-            def bg_of(z, lb, ub, hl, hu, tl, tu):
-                one = jnp.ones_like(z)
-                return _mdiv(tl * one, z - lb, hl) - _mdiv(tu * one, ub - z, hu)
-
-            sigX = sig_of(X, st.zlx, st.zux, lbx, ubx, hlx, hux).at[0].set(0.0)
-            sigU = sig_of(U, st.zlu, st.zuu, lbu, ubu, hlu, huu)
+            # merged bound sigma; per-role views below
+            sigZ = (_mdiv(st.zl, Z - lbz, hlz) + _mdiv(st.zu, ubz - Z, huz))
+            # stage-k x-sigma uses x_k: row 0 is the pinned x_0 (no duals)
+            sigX_stage = jnp.concatenate(
+                [jnp.zeros((1, nxa), dtype=dtype), sigZ[: N - 1, :nxa]], axis=0)
+            sigX_term = sigZ[N - 1, :nxa]
+            sigU = sigZ[:, nxa:nxa + nu]
             if ni:
-                sigS = jnp.maximum(
-                    sig_of(S, st.zls, st.zus, lbi, ubi, hli, hui), 1e-12)
+                sigS = jnp.maximum(sigZ[:, nxa + nu:], 1e-12)
             else:
                 sigS = jnp.zeros((N, 0), dtype=dtype)
 
@@ -1386,13 +1477,14 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             else:
                 Hs = H
             # stage Hessian with bound sigmas
-            Hs = Hs.at[:, :nxa, :nxa].add(jax.vmap(jnp.diag)(sigX[:N]))
-            Hs = Hs.at[:, nxa:, nxa:].add(jax.vmap(jnp.diag)(sigU))
+            # one merged diag-embed: the (nz,) stage sigma [sig_x_k | sig_u_k]
+            Hs = Hs + jnp.eye(nz, dtype=dtype) * jnp.concatenate(
+                [sigX_stage, sigU], axis=1)[:, None, :]
 
             # terminal block (cost part; the barrier gradient joins per
             # direction)
             PN_h = (jax.hessian(lambda xx: _cost_N(xx, p))(X[N])
-                    + jnp.diag(sigX[N]))
+                    + jnp.diag(sigX_term))
             pN_cost = jax.grad(lambda xx: _cost_N(xx, p))(X[N])
 
             # --- Riccati backward pass at the carried regularization; a
@@ -1494,8 +1586,9 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 kf = -cho(Lf, qu_f[..., None])[..., 0]
                 return ok, Ks, kf, P_nxt, p_nxt
 
-            def compute_direction(bgX_, bgU_, bgS_):
-                """One KKT solve for a given barrier-gradient RHS.
+            def compute_direction(bgZ_):
+                """One KKT solve for a given merged barrier-gradient RHS
+                (bgZ_ laid out like Z: [bg_x_{k+1} | bg_u_k | bg_s_k]).
 
                 Reuses the mu-independent Hs/PN_h/sigma factors above; only
                 the gradient q/pN_g changes between the Mehrotra predictor
@@ -1503,13 +1596,18 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 """
                 if ni:
                     # E' (Sigma_s r_i - bg_s): inequality elimination gradient
-                    g_extra = jnp.einsum("kia,ki->ka", E, sigS * r_i - bgS_)
+                    g_extra = jnp.einsum("kia,ki->ka", E, sigS * r_i
+                                         - bgZ_[:, nxa + nu:])
                 else:
                     g_extra = jnp.zeros((N, nz), dtype=dtype)
-                q = gc + g_extra
-                q = q.at[:, :nxa].add(-bgX_[:N])
-                q = q.at[:, nxa:].add(-bgU_)
-                pN_g = pN_cost - bgX_[N]
+                # stage-k gradient rows pair bg at x_k (shifted: row 0 is the
+                # pinned x_0, bg=0) with bg at u_k
+                bg_q = jnp.concatenate(
+                    [jnp.concatenate([jnp.zeros((1, nxa), dtype=dtype),
+                                      bgZ_[: N - 1, :nxa]], axis=0),
+                     bgZ_[:, nxa:nxa + nu]], axis=1)
+                q = gc + g_extra - bg_q
+                pN_g = pN_cost - bgZ_[N - 1, :nxa]
 
                 mu_h_new = st.mu_h
                 if termcons and eqcons:
@@ -1568,7 +1666,7 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                     dS = jnp.einsum("kia,ka->ki", E,
                                     jnp.concatenate([dX[:N], dU], axis=1)) + r_i
                     # eliminated inequality multipliers (primal-dual):
-                    dnu = sigS * dS - (st.nus + bgS_)
+                    dnu = sigS * dS - (st.nus + bgZ_[:, nxa + nu:])
                     dnu = jnp.nan_to_num(dnu, nan=0.0, posinf=0.0, neginf=0.0)
                 else:
                     dS = jnp.zeros((N, 0), dtype=dtype)
@@ -1585,10 +1683,13 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                         q, g_extra, pN_g)
 
             # per-component dual steps for complementarity targets tl/tu
-            def dz_of(z, dz, zl, zu, lb, ub, hl, hu, tl, tu):
-                one = jnp.ones_like(z)
-                dzl = jnp.where(hl, -zl + _mdiv(tl * one - zl * dz, z - lb, hl), 0.0)
-                dzu = jnp.where(hu, -zu + _mdiv(tu * one + zu * dz, ub - z, hu), 0.0)
+            # (merged Z layout)
+            def dz_of(Zc, dZc, tl, tu):
+                one = jnp.ones_like(Zc)
+                dzl = jnp.where(hlz, -st.zl + _mdiv(tl * one - st.zl * dZc,
+                                                    Zc - lbz, hlz), 0.0)
+                dzu = jnp.where(huz, -st.zu + _mdiv(tu * one + st.zu * dZc,
+                                                    ubz - Zc, huz), 0.0)
                 return dzl, dzu
 
             if mehrotra:
@@ -1597,71 +1698,39 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 # complementarity target)
                 zero = jnp.zeros((), dtype=dtype)
                 (slv_a, dXa, dUa, dSa, _, _, _, _, _, _, _) = compute_direction(
-                    jnp.zeros_like(X), jnp.zeros_like(U), jnp.zeros_like(S))
-                dzlx_a, dzux_a = dz_of(X, dXa, st.zlx, st.zux, lbx, ubx,
-                                       hlx, hux, zero, zero)
-                dzlx_a = dzlx_a.at[0].set(0.0)
-                dzux_a = dzux_a.at[0].set(0.0)
-                dzlu_a, dzuu_a = dz_of(U, dUa, st.zlu, st.zuu, lbu, ubu,
-                                       hlu, huu, zero, zero)
-                dzls_a, dzus_a = dz_of(S, dSa, st.zls, st.zus, lbi, ubi,
-                                       hli, hui, zero, zero)
+                    jnp.zeros((N, nzs), dtype=dtype))
+                dZa = jnp.concatenate([dXa[1:], dUa, dSa], axis=1)
+                dzl_a, dzu_a = dz_of(Z, dZa, zero, zero)
 
                 # probe step lengths to the boundary (tau=1)
-                def ftb1(z, dz, lb, ub, hl, hu):
-                    al = jnp.where(hl & (dz < 0),
-                                   -(z - lb) / jnp.where(dz < 0, dz, -1.0), jnp.inf)
-                    au = jnp.where(hu & (dz > 0),
-                                   (ub - z) / jnp.where(dz > 0, dz, 1.0), jnp.inf)
-                    return jnp.minimum(jnp.min(al, initial=jnp.inf),
-                                       jnp.min(au, initial=jnp.inf))
-
-                def ftb1_dual(zl, dzl):
-                    return jnp.min(jnp.where(
-                        dzl < 0, -zl / jnp.where(dzl < 0, dzl, -1.0), jnp.inf),
-                        initial=jnp.inf)
-
-                a_p = jnp.minimum(1.0, jnp.minimum(
-                    ftb1(X[1:], dXa[1:], lbx, ubx, hlx, hux),
-                    jnp.minimum(ftb1(U, dUa, lbu, ubu, hlu, huu),
-                                ftb1(S, dSa, lbi, ubi, hli, hui)
-                                if ni else jnp.inf)))
+                al1 = jnp.where(hlz & (dZa < 0),
+                                -(Z - lbz) / jnp.where(dZa < 0, dZa, -1.0),
+                                jnp.inf)
+                au1 = jnp.where(huz & (dZa > 0),
+                                (ubz - Z) / jnp.where(dZa > 0, dZa, 1.0),
+                                jnp.inf)
+                a_p = jnp.minimum(1.0,
+                                  jnp.minimum(jnp.min(al1, initial=jnp.inf),
+                                              jnp.min(au1, initial=jnp.inf)))
                 a_d = jnp.minimum(1.0, jnp.minimum(
-                    jnp.minimum(ftb1_dual(st.zlx, dzlx_a),
-                                ftb1_dual(st.zux, dzux_a)),
-                    jnp.minimum(
-                        jnp.minimum(ftb1_dual(st.zlu, dzlu_a),
-                                    ftb1_dual(st.zuu, dzuu_a)),
-                        jnp.minimum(ftb1_dual(st.zls, dzls_a),
-                                    ftb1_dual(st.zus, dzus_a)))))
+                    jnp.min(jnp.where(dzl_a < 0,
+                                      -st.zl / jnp.where(dzl_a < 0, dzl_a, -1.0),
+                                      jnp.inf), initial=jnp.inf),
+                    jnp.min(jnp.where(dzu_a < 0,
+                                      -st.zu / jnp.where(dzu_a < 0, dzu_a, -1.0),
+                                      jnp.inf), initial=jnp.inf)))
 
                 # average complementarity now and at the affine probe point
-                def comp_sums(ap, ad):
-                    def fam(z, dz, zl, zu, dzl, dzu, lb, ub, hl, hu):
-                        gl = jnp.where(hl, (z + ap * dz) - lb, 0.0)
-                        gu = jnp.where(hu, ub - (z + ap * dz), 0.0)
-                        s = (jnp.sum(gl * (zl + ad * dzl))
-                             + jnp.sum(gu * (zu + ad * dzu)))
-                        # masks are per-variable; the products span the
-                        # leading stage axis too
-                        cnt = z.shape[0] * (jnp.sum(hl) + jnp.sum(hu))
-                        return s, cnt
+                c_cnt = N * (jnp.sum(hlz) + jnp.sum(huz))
 
-                    s1, c1 = fam(X[1:], dXa[1:], st.zlx[1:], st.zux[1:],
-                                 dzlx_a[1:], dzux_a[1:], lbx, ubx, hlx, hux)
-                    s2, c2 = fam(U, dUa, st.zlu, st.zuu, dzlu_a, dzuu_a,
-                                 lbu, ubu, hlu, huu)
-                    if ni:
-                        s3, c3 = fam(S, dSa, st.zls, st.zus, dzls_a, dzus_a,
-                                     lbi, ubi, hli, hui)
-                    else:
-                        s3, c3 = zero, 0
-                    return (s1 + s2 + s3), (c1 + c2 + c3)
+                def comp_sum(ap, ad):
+                    gl = jnp.where(hlz, (Z + ap * dZa) - lbz, 0.0)
+                    gu = jnp.where(huz, ubz - (Z + ap * dZa), 0.0)
+                    return (jnp.sum(gl * (st.zl + ad * dzl_a))
+                            + jnp.sum(gu * (st.zu + ad * dzu_a)))
 
-                c_sum, c_cnt = comp_sums(0.0, 0.0)
-                mu_avg = c_sum / jnp.maximum(c_cnt, 1)
-                c_aff, _ = comp_sums(a_p, a_d)
-                mu_aff = c_aff / jnp.maximum(c_cnt, 1)
+                mu_avg = comp_sum(0.0, 0.0) / jnp.maximum(c_cnt, 1)
+                mu_aff = comp_sum(a_p, a_d) / jnp.maximum(c_cnt, 1)
                 sigma_m = jnp.clip(
                     (mu_aff / jnp.maximum(mu_avg, tiny)) ** 3, 0.0, 1.0)
                 mu = jnp.clip(sigma_m * mu_avg, opts.tol / 10.0, 1e4)
@@ -1674,28 +1743,16 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 def tgt(so):
                     return jnp.clip(mu + so, 0.01 * mu, 100.0 * mu)
 
-                tlx = tgt(-dXa * dzlx_a)
-                tux = tgt(dXa * dzux_a)
-                tlu = tgt(-dUa * dzlu_a)
-                tuu = tgt(dUa * dzuu_a)
-                tls = tgt(-dSa * dzls_a)
-                tus = tgt(dSa * dzus_a)
-                bgX_c = bg_of(X, lbx, ubx, hlx, hux, tlx, tux).at[0].set(0.0)
-                bgU_c = bg_of(U, lbu, ubu, hlu, huu, tlu, tuu)
-                bgS_c = (bg_of(S, lbi, ubi, hli, hui, tls, tus)
-                         if ni else jnp.zeros((N, 0), dtype=dtype))
+                tlz = tgt(-dZa * dzl_a)
+                tuz = tgt(dZa * dzu_a)
+                bgZ_c = bg_of(Z, tlz, tuz)
             else:
-                tlx = tux = mu
-                tlu = tuu = mu
-                tls = tus = mu
-                bgX_c = bg_of(X, lbx, ubx, hlx, hux, mu, mu).at[0].set(0.0)
-                bgU_c = bg_of(U, lbu, ubu, hlu, huu, mu, mu)
-                bgS_c = (bg_of(S, lbi, ubi, hli, hui, mu, mu)
-                         if ni else jnp.zeros((N, 0), dtype=dtype))
+                tlz = tuz = mu
+                bgZ_c = bg_of(Z, mu, mu)
 
             (solvable, dX, dU, dS, dnu, lam_new, xi_new, mu_h_new,
-             q, g_extra, pN_g) = compute_direction(bgX_c, bgU_c, bgS_c)
-            bgS = bgS_c    # line-search directional derivative uses bgS
+             q, g_extra, pN_g) = compute_direction(bgZ_c)
+            bgS = bgZ_c[:, nxa + nu:]  # LS directional derivative uses bgS
 
             dlam = lam_new - st.lam
             dxi = (xi_new - st.xi) if termcons else st.xi
@@ -1709,32 +1766,18 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 au = jnp.where(hu & (dz > 0), tau * (ub - z) / jnp.where(dz > 0, dz, 1.0), jnp.inf)
                 return jnp.minimum(jnp.min(al, initial=jnp.inf), jnp.min(au, initial=jnp.inf))
 
-            a1 = ftb(X[1:], dX[1:], lbx, ubx, hlx, hux)
-            a2 = ftb(U, dU, lbu, ubu, hlu, huu)
-            a3 = ftb(S, dS, lbi, ubi, hli, hui) if ni else jnp.inf
-            alpha_max = jnp.minimum(1.0, jnp.minimum(a1, jnp.minimum(a2, a3)))
+            dZ = jnp.concatenate([dX[1:], dU, dS], axis=1)
+            alpha_max = jnp.minimum(1.0, ftb(Z, dZ, lbz, ubz, hlz, huz))
 
             # dual steps toward the (componentwise) complementarity targets
-            dzlx, dzux = dz_of(X, dX, st.zlx, st.zux, lbx, ubx, hlx, hux,
-                               tlx, tux)
-            dzlx = dzlx.at[0].set(0.0)
-            dzux = dzux.at[0].set(0.0)
-            dzlu, dzuu = dz_of(U, dU, st.zlu, st.zuu, lbu, ubu, hlu, huu,
-                               tlu, tuu)
-            dzls, dzus = dz_of(S, dS, st.zls, st.zus, lbi, ubi, hli, hui,
-                               tls, tus)
+            dzl, dzu = dz_of(Z, dZ, tlz, tuz)
 
-            def ftb_dual(zl, dzl):
-                return jnp.where(dzl < 0, -tau * zl / jnp.where(dzl < 0, dzl, -1.0), jnp.inf)
+            def ftb_dual(zl, dzl_):
+                return jnp.where(dzl_ < 0, -tau * zl / jnp.where(dzl_ < 0, dzl_, -1.0), jnp.inf)
 
             ad = jnp.minimum(1.0, jnp.minimum(
-                jnp.minimum(jnp.min(ftb_dual(st.zlx, dzlx), initial=jnp.inf),
-                            jnp.min(ftb_dual(st.zux, dzux), initial=jnp.inf)),
-                jnp.minimum(
-                    jnp.minimum(jnp.min(ftb_dual(st.zlu, dzlu), initial=jnp.inf),
-                                jnp.min(ftb_dual(st.zuu, dzuu), initial=jnp.inf)),
-                    jnp.minimum(jnp.min(ftb_dual(st.zls, dzls), initial=jnp.inf),
-                                jnp.min(ftb_dual(st.zus, dzus), initial=jnp.inf)))))
+                jnp.min(ftb_dual(st.zl, dzl), initial=jnp.inf),
+                jnp.min(ftb_dual(st.zu, dzu), initial=jnp.inf)))
 
             c_norm = (jnp.sum(jnp.abs(r_d)) + jnp.sum(jnp.abs(r_i))
                       + jnp.sum(jnp.abs(r_T)) + jnp.sum(jnp.abs(r_h)))
@@ -1751,9 +1794,9 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 # the ContForm sweep already integrated the stage quadrature
                 # at the current point — no second cost rollout for psi0
                 cost0 = p["_sf"] * jnp.sum(_qv) + _cost_N(X[N], p)
-                phi0 = barrier_phi(X, U, S, mu, cost_val=cost0)
             else:
-                phi0 = barrier_phi(X, U, S, mu)
+                cost0 = total_cost(X, U)
+            phi0 = barrier_phi(Z, mu, cost0)
             psi0 = phi0 + nu_pen * c_norm
             # directional derivative (gradient of phi along step)
             dphi = (jnp.sum((q - g_extra) * jnp.concatenate([dX[:N], dU], axis=1))
@@ -1763,9 +1806,34 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             slack_tol = 10.0 * eps_mach * (jnp.abs(psi0) + 1.0)
             near_opt = st.kkt0 < 1e-5
 
+            if ls_adaptive:
+                # rollout-free nonmonotone step controller (ls_mode=
+                # 'adaptive'): no trial-point residual rollouts — the step
+                # cap quarters when the merit increased over the previous
+                # iteration (evaluated from THIS iteration's sweep, which
+                # already produced the residuals) and resets to the full
+                # fraction-to-boundary step on decrease.  Bad steps are
+                # taken once and damped; the best-KKT iterate bookkeeping
+                # returns the best point regardless.
+                psi0_c = jnp.where(jnp.isnan(psi0), jnp.inf, psi0)
+                increased = ((~jnp.isfinite(psi0_c))
+                             | (psi0_c > st.psi_prev + slack_tol))
+                acap_n = jnp.where(
+                    increased,
+                    jnp.maximum(st.acap * 0.25,
+                                jnp.asarray(0.5 ** _MAX_BACKTRACK, dtype)),
+                    jnp.asarray(1.0, dtype))
+                alpha = alpha_max * acap_n
+                accepted = jnp.asarray(True)
+                psi_keep = psi0_c
+                alpha = jnp.where(solvable, alpha, 0.0)
+            else:
+                acap_n = st.acap
+                psi_keep = st.psi_prev
+
             def ls_cond(c):
                 j, acc, _ = c
-                return (~acc) & (j < _MAX_BACKTRACK)
+                return (~acc) & (j < _LS_TRIPS)
 
             # when the merit overflows (runaway dynamics), fall back to a
             # pure feasibility-reduction test instead of accepting anything
@@ -1777,19 +1845,20 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
 
             # the a=0 point's residuals are already in r_d/r_i/r_T/r_h — no
             # extra rollout
-            c_norm_capped = capped(r_d, r_i, r_T, r_h)
+            c_norm_capped = (None if ls_adaptive
+                             else capped(r_d, r_i, r_T, r_h))
 
             def ls_body(c, alpha_override=None):
                 # ONE residual rollout per trial point feeds both the merit
                 # test and the feasibility-restoration fallback
                 j, _, _ = c
-                a = (alpha_max * (0.5 ** j) if alpha_override is None
-                     else alpha_override)
+                a = (alpha_max * (0.5 ** _ls_exp(j).astype(dtype))
+                     if alpha_override is None else alpha_override)
                 Xt = X.at[1:].add(a * dX[1:])
                 Ut = U + a * dU
                 St = S + a * dS
                 rd_t, ri_t, rT_t, rh_t = residuals(Xt, Ut, St)
-                mer = barrier_phi(Xt, Ut, St, mu) + nu_pen * (
+                mer = barrier_phi(Z + a * dZ, mu, total_cost(Xt, Ut)) + nu_pen * (
                     jnp.sum(jnp.abs(rd_t)) + jnp.sum(jnp.abs(ri_t))
                     + jnp.sum(jnp.abs(rT_t)) + jnp.sum(jnp.abs(rh_t)))
                 ok_merit = mer <= psi0 + _ETA_LS * a * dpsi + slack_tol
@@ -1797,15 +1866,18 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 ok = jnp.where(psi0_finite, ok_merit, ok_resto)
                 return (j + 1, ok, a)
 
-            if opts.ls_parallel:
+            if ls_adaptive:
+                pass   # alpha/accepted already set by the step controller
+            elif opts.ls_parallel:
                 # all trial points in ONE vectorized pass; the accepted
                 # step is the FIRST ok alpha — identical to the sequential
                 # loop's result (which stops at the first acceptance).  The
-                # trial set matches the sequential loop exactly: j=0..19
-                # (ls_cond tests j < _MAX_BACKTRACK), with the shared
-                # unaccepted fallback alpha_max * 0.5**_MAX_BACKTRACK below.
-                js = jnp.arange(_MAX_BACKTRACK)
-                alphas = alpha_max * (jnp.asarray(0.5, dtype) ** js.astype(dtype))
+                # trial set matches the sequential loop exactly: j=0.._LS_TRIPS-1
+                # on the two-phase ladder, with the shared unaccepted
+                # fallback alpha_max * 0.5**_MAX_BACKTRACK below.
+                js = jnp.arange(_LS_TRIPS)
+                alphas = alpha_max * (jnp.asarray(0.5, dtype)
+                                      ** _ls_exp(js).astype(dtype))
 
                 def ls_trial(a):
                     return ls_body((jnp.asarray(0, jnp.int32), False, a),
@@ -1826,7 +1898,8 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 accepted = accepted | near_opt
                 alpha = jnp.where(accepted, alpha,
                                   alpha_max * (0.5 ** _MAX_BACKTRACK))
-            alpha = jnp.where(solvable, alpha, 0.0)
+            if not ls_adaptive:
+                alpha = jnp.where(solvable, alpha, 0.0)
             delta_floor = 1e-6 if parallel else 0.0
             delta_n = jnp.where(solvable,
                                 jnp.maximum(st.delta / 2.0, delta_floor)
@@ -1841,21 +1914,17 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             xi_n = (st.xi + alpha * dxi) if termcons else st.xi
             mu_h_n = st.mu_h + alpha * dmu_h
 
-            def upd_duals(z_n, zl, zu, dzl, dzu, lb, ub, hl, hu):
-                zl_n = zl + ad * dzl
-                zu_n = zu + ad * dzu
-                ks_sig = 1e6 if f32 else 1e10
-                gl = jnp.maximum(jnp.where(hl, z_n - lb, 1.0), tiny)
-                gu = jnp.maximum(jnp.where(hu, ub - z_n, 1.0), tiny)
-                zl_n = jnp.where(hl, jnp.clip(zl_n, mu / (ks_sig * gl), ks_sig * mu / gl), 0.0)
-                zu_n = jnp.where(hu, jnp.clip(zu_n, mu / (ks_sig * gu), ks_sig * mu / gu), 0.0)
-                return zl_n, zu_n
-
-            zlx_n, zux_n = upd_duals(X_n, st.zlx, st.zux, dzlx, dzux, lbx, ubx, hlx, hux)
-            zlx_n = zlx_n.at[0].set(0.0)
-            zux_n = zux_n.at[0].set(0.0)
-            zlu_n, zuu_n = upd_duals(U_n, st.zlu, st.zuu, dzlu, dzuu, lbu, ubu, hlu, huu)
-            zls_n, zus_n = upd_duals(S_n, st.zls, st.zus, dzls, dzus, lbi, ubi, hli, hui)
+            # merged dual update + IPOPT kappa_Sigma safeguard clip
+            Z_n = Z + alpha * dZ
+            ks_sig = 1e6 if f32 else 1e10
+            gl_n = jnp.maximum(jnp.where(hlz, Z_n - lbz, 1.0), tiny)
+            gu_n = jnp.maximum(jnp.where(huz, ubz - Z_n, 1.0), tiny)
+            zl_n = jnp.where(hlz, jnp.clip(st.zl + ad * dzl,
+                                           mu / (ks_sig * gl_n),
+                                           ks_sig * mu / gl_n), 0.0)
+            zu_n = jnp.where(huz, jnp.clip(st.zu + ad * dzu,
+                                           mu / (ks_sig * gu_n),
+                                           ks_sig * mu / gu_n), 0.0)
 
             if opts.debug:
                 jax.debug.print(
@@ -1867,10 +1936,10 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                     np=nu_pen, p0=psi0, k=e_0, f=feas, d=done_now)
 
             new = _SState(X=X_n, U=U_n, S=S_n, lam=lam_n, nus=nus_n,
-                          zlx=zlx_n, zux=zux_n, zlu=zlu_n, zuu=zuu_n,
-                          zls=zls_n, zus=zus_n, mu=mu, nu_pen=nu_pen,
+                          zl=zl_n, zu=zu_n, mu=mu, nu_pen=nu_pen,
                           delta=delta_n, it=st.it + 1, done=jnp.asarray(False),
                           kkt0=e_0, feas=feas, xi=xi_n, mu_h=mu_h_n,
+                          psi_prev=psi_keep, acap=acap_n,
                           bX=bX_n, bU=bU_n, bS=bS_n, bkkt=bkkt_n, bfeas=bfeas_n)
             stay = st._replace(done=jnp.asarray(True), kkt0=e_0, feas=feas,
                                bX=bX_n, bU=bU_n, bS=bS_n, bkkt=bkkt_n,
@@ -1904,6 +1973,8 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
         f_val = jnp.sum(cs) + s.cost_N(X_fin[N], p1)
         return StructResult(X=X_fin * sxa_j, U=U_fin * su_j, f=f_val,
                             status=status, iters=fin.it, kkt_err=kkt_fin,
-                            feas_err=feas_fin)
+                            feas_err=feas_fin,
+                            zl=fin.zl, zu=fin.zu, lam=fin.lam, nus=fin.nus,
+                            mu=fin.mu, sf=sf)
 
     return solve

@@ -212,7 +212,10 @@ def test_mhe_mpc_traced_continuation():
         us_tr.append(float(out.u[0]))
         assert int(out.status_dyn) != 2
     uh = np.asarray(H_full["U"])[K0:, 0]
-    assert np.abs(uh - np.asarray(us_tr)).max() < 1e-12
+    # the traced step dual-warm-starts the structured OCP (round 4), so
+    # the continuation matches the host's cold-start solves to solver
+    # tolerance rather than bit-exactly
+    assert np.abs(uh - np.asarray(us_tr)).max() < 1e-9
 
     # init_carry without a warmed window must refuse
     with pytest.raises(ValueError, match="warmed MHECarry"):

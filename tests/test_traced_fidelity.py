@@ -63,10 +63,23 @@ def test_nlplant():
     _compare(cfg, 16, rtol=1e-8, atol=1e-8, use_structured=False)
 
 
+def test_nlplant_structured():
+    # production configuration: structured Riccati solver inside the scan
+    # (what bench.py/closed_loop_bench run) vs the host dense loop —
+    # agreement bounded by structured-vs-dense solver tolerance
+    cfg = _cfg("lmpc_nlplant", 16, 10)
+    _compare(cfg, 16, rtol=1e-4, atol=1e-5)
+
+
 def test_xp_nlplant():
     # nx=4 model vs nxp=3 plant: exercises the nx != nxp threading
     cfg = _cfg("lmpcxp_nlplant", 16, 10)
     _compare(cfg, 16, rtol=1e-8, atol=1e-8, use_structured=False)
+
+
+def test_xp_nlplant_structured():
+    cfg = _cfg("lmpcxp_nlplant", 16, 10)
+    _compare(cfg, 16, rtol=1e-4, atol=1e-5)
 
 
 def test_nmpc_noise_ekf():
@@ -76,10 +89,20 @@ def test_nmpc_noise_ekf():
     _compare(cfg, 12, rtol=1e-8, atol=1e-8, use_structured=False)
 
 
+def test_nmpc_structured():
+    cfg = _cfg("nmpc", 12, 10)
+    _compare(cfg, 12, rtol=1e-4, atol=1e-5)
+
+
 def test_nmpc_dis_schedules():
     # discrete quadruple tank + def_pxp schedule + Delta-u bounds
     cfg = _cfg("nmpc_dis", 14, 10)
     _compare(cfg, 14, rtol=1e-8, atol=1e-8, use_structured=False)
+
+
+def test_nmpc_dis_structured():
+    cfg = _cfg("nmpc_dis", 14, 10)
+    _compare(cfg, 14, rtol=1e-4, atol=1e-5)
 
 
 def test_adaptation_traced():

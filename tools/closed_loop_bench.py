@@ -18,12 +18,10 @@ import numpy as np  # noqa: E402
 
 
 def main():
-    # the lane-packed sweep wins in THIS regime (warm-started B=1024 steps:
-    # chip A/B 880 steps/s vs 699 default / 781 unroll-only / 595 both) even
-    # though it loses on the big cold-start bench batches — engage it for
-    # this tool unless the caller overrides
-    os.environ.setdefault("MPC_TPU_FAST_SWEEP", "1")
-
+    # the library self-selects the sweep layout per batch size now
+    # (ops/integrators._lanes_minor): lanes-minor at warm-started small
+    # batches like this one, batch-major on the big cold bench batches —
+    # no env knob needed here anymore
     import jax
 
     jax.config.update("jax_default_matmul_precision", "highest")
@@ -70,8 +68,13 @@ def main():
     st = np.asarray(out.status_dyn)
     iters = np.asarray(out.ocp_iters)
     lane_steps = B * steps
+    # the batched while_loop's per-step wall is the MAX over lanes, not
+    # the median — report both (per-step max, then median over steps)
+    max_it_steps = iters.reshape(steps, -1).max(axis=1)
     print(f"# compile={compile_s:.1f}s run={run_s:.2f}s batch={B} steps={steps} "
           f"ok={(st != 2).sum()}/{st.size} warm med_iters={np.median(iters[1:]):.0f} "
+          f"max_iters/step={np.median(max_it_steps[1:]):.0f} "
+          f"(p90 {np.percentile(max_it_steps[1:], 90):.0f}) "
           f"platform={jax.devices()[0].platform}")
     print(f"closed-loop MPC steps/s/chip: {lane_steps / run_s:,.0f} "
           f"(each = KF estimate + target NLP + OCP NLP + plant step)")

@@ -79,7 +79,7 @@ def main():
     carryB = jax.tree_util.tree_map(tile, carry1)
     carryB = carryB._replace(x=carryB.x + jnp.asarray(dx))
 
-    step = make_mpc_step(cfg)
+    step = make_mpc_step(cfg, batch_hint=B)
     inputs = make_step_inputs(cfg, T, t0=float(st["t"]), k0=K0)
     vstep = jax.vmap(step, in_axes=(0, None))
 

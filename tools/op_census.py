@@ -96,51 +96,62 @@ def main():
         with open(args.dump, "w") as f:
             f.write(txt)
 
-    # --- parse computations: "%name (args) -> type {" or "ENTRY ..."
-    comps = {}          # name -> list of opcodes
+    # --- parse computations: boundaries are column-0 header lines ending
+    # in '{' (tuple-typed parameter lists contain parens/commas, so only
+    # the indentation is reliable) and a column-0 '}'
+    comps = {}              # name -> Counter(opcode)
+    wheres = collections.defaultdict(list)   # comp -> nested while bodies
     cur = None
     for line in txt.splitlines():
-        m = re.match(r"^(?:ENTRY\s+)?%?([\w\.\-]+)\s*\([^)]*\)\s*->.*\{", line)
-        if m:
-            cur = m.group(1)
-            comps[cur] = []
+        if line and not line.startswith(" ") and "{" in line:
+            m = re.match(r"^(?:ENTRY\s+)?%?([^\s(]+)", line)
+            cur = m.group(1) if m else None
+            if cur is not None:
+                comps[cur] = collections.Counter()
             continue
         if cur is None:
             continue
         if line.startswith("}"):
             cur = None
             continue
-        lm = re.match(r"\s+(?:ROOT\s+)?%?[\w\.\-]+\s*=\s*\S+\s+([\w\-]+)\(", line)
-        if lm:
-            comps[cur].append(lm.group(1))
+        s = line.strip()
+        m2 = re.search(r"=\s*(?:\([^=]*?\)\s*|\S+\s+)?([\w\-]+)\(", s)
+        if not m2:
+            continue
+        op = m2.group(1)
+        comps[cur][op] += 1
+        if "body=" in s:
+            mb = re.search(r"body=%?([^\s,)]+)", s)
+            if mb:
+                wheres[cur].append(mb.group(1))
 
-    # identify while bodies by name (XLA names them body..., or region)
-    sizes = sorted(((len(v), k) for k, v in comps.items()), reverse=True)
-    print("\n== largest computations (instruction count) ==")
+    _SKIP = {"parameter", "constant", "get-tuple-element", "tuple", "bitcast"}
+
+    def real(c):
+        return sum(v for k, v in comps.get(c, {}).items() if k not in _SKIP)
+
+    sizes = sorted(((real(k), k) for k in comps), reverse=True)
+    print("\n== largest computations (real-op count) ==")
     for n, k in sizes[:12]:
         print(f"  {n:6d}  {k}")
+    print(f"\n== total real ops: {sum(n for n, _ in sizes)} ==")
 
-    total = sum(len(v) for v in comps.values())
-    print(f"\n== total instructions across all computations: {total} ==")
+    # while-nesting tree from the entry: each body's real-op count is the
+    # per-trip dispatch budget (nested bodies multiply by their trips)
+    entry = next((k for k in comps if k.startswith("main")), None)
 
-    # the IPM iteration body: the biggest while-body computation
-    body_name = None
-    for n, k in sizes:
-        if "body" in k or "while" in k:
-            body_name = k
-            break
-    if body_name is None and sizes:
-        body_name = sizes[0][1]
-    ops = comps.get(body_name, [])
-    print(f"\n== opcode census of '{body_name}' ({len(ops)} instrs) ==")
-    cnt = collections.Counter(ops)
-    for op, c in cnt.most_common(args.top):
-        print(f"  {c:6d}  {op}")
+    def show(c, depth):
+        d = comps.get(c, {})
+        top = ", ".join(f"{k}:{v}" for k, v in
+                        sorted(d.items(), key=lambda kv: -kv[1])
+                        if k not in _SKIP)[:120]
+        print("  " * depth + f"{c}: {real(c)} real ops [{top}]")
+        for b in wheres.get(c, []):
+            show(b, depth + 1)
 
-    # fusion count = number of sequentially dispatched kernels per iteration
-    n_fusion = cnt.get("fusion", 0)
-    print(f"\n== '{body_name}': {n_fusion} fusions, "
-          f"{len(ops)} instructions ==")
+    if entry:
+        print("\n== while-nesting tree (entry -> bodies) ==")
+        show(entry, 0)
 
 
 if __name__ == "__main__":
