@@ -399,15 +399,26 @@ class MHECarry(NamedTuple):
     x_bar: jnp.ndarray  # (n,)    arrival-cost center
     P: jnp.ndarray      # (n,n)   arrival-cost covariance
     sm: Any = None      # MHESmoothState (mhe_up='smooth' only)
+    # number of completed MHE steps (== the reference's ksim).  Buffers are
+    # back-aligned: during the growing-horizon warmup (steps < N_mhe-1) the
+    # first N_mhe-1-steps window slots hold benign pad values that the
+    # NLP's per-stage validity mask deactivates.  carry_from_runtime hands
+    # off a full window, so it sets steps = N_mhe (always-full behavior).
+    steps: Any = None
 
 
 def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
-    """Pure-JAX steady-state MHE step (both ``mhe_up`` modes).
+    """Pure-JAX MHE step (both ``mhe_up`` modes), warmup included.
 
-    The growing-horizon warmup (ksim < N_mhe) is inherently host-driven
-    (per-horizon NLP sizes — reference MPC_code.py:591-598) and stays in
-    `MHERuntime`; once the window is full the solve is stationary and this
-    step jits/vmaps/scans.  Returns ``(step, carry_from_runtime)``:
+    The reference's growing-horizon warmup (ksim < N_mhe) rebuilds a
+    per-horizon NLP each step (MPC_code.py:591-598); here ONE fixed-shape
+    NLP with a per-stage validity mask expresses every horizon (pad stages:
+    identity dynamics, v pinned to 0, cost-decoupled w — the padded optimum
+    coincides with the reduced-horizon optimum), so the same traced step
+    jits/vmaps/scans from step 0.  Start cold with
+    :func:`make_mhe_cold_carry`; a carry with ``steps=None`` (e.g. from
+    ``carry_from_runtime``) folds the mask to all-true and reproduces the
+    steady-state-only graph bitwise.  Returns ``(step, carry_from_runtime)``:
 
     - ``step(carry, y_k, u_k, xhat_min, t_k, p_x, p_y) ->
       (carry', x_corr)`` — one full MHE step: window shift with the
@@ -444,7 +455,7 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
     ts = cfg.h
     pidx = p * (N - 1)
 
-    spec = build_mhe_nlp(cfg, fx_mhe, fy_es, f_obj_mhe, N, N)
+    spec = build_mhe_nlp(cfg, fx_mhe, fy_es, f_obj_mhe, N, N, maskable=True)
     solve = make_solver(spec.nlp, cfg.sol_opts_mhe)
     lbw = jnp.asarray(spec.lbw)
     ubw = jnp.asarray(spec.ubw)
@@ -469,6 +480,22 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
         p_x = jnp.asarray(p_x).reshape(npx)
         p_y = jnp.asarray(p_y).reshape(npy)
 
+        # growing-horizon warmup support (reference MPC_code.py:591-598):
+        # with a step counter in the carry, the first N-1 steps run the
+        # SAME traced solve with the leading (pad) stages masked off; with
+        # steps=None (post-handoff carries) the mask folds to all-true and
+        # the graph is the pre-round-4 steady-state one, bitwise.
+        warm = c.steps is not None
+        if warm:
+            valid = jnp.minimum(c.steps + 1, N)          # window entries after this shift
+            mask = jnp.arange(N) >= (N - valid)          # back-aligned validity
+            full = c.steps >= N - 1                      # prior update engages (ksim >= N_mhe-1)
+            sel = lambda cond, a, b: jnp.where(cond, a, b)
+        else:
+            mask = jnp.ones(N, dtype=bool)
+            full = True
+            sel = lambda cond, a, b: a
+
         # window shift; the solver's input window ends with the fictitious
         # doubled current input [..., u_k, u_k] (Estimator.py:475-501) and
         # the end-of-step strip removes the second copy
@@ -484,11 +511,12 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
         PXm = PX_n.reshape(N, npx)
 
         def sim(xg, inp):
-            u_i, t_i, px_i = inp
+            u_i, t_i, px_i, mk_i = inp
             xn = fx_mhe(xg, u_i, ts, t_i, jnp.zeros(n_w, dtype=xg.dtype), px_i)
-            return xn, xn
+            # pad stages hold x_bar (identity dynamics in the masked NLP)
+            return jnp.where(mk_i, xn, xg), jnp.where(mk_i, xn, xg)
 
-        xN, Xtail = jax.lax.scan(sim, c.x_bar, (Um, T_n, PXm))
+        xN, Xtail = jax.lax.scan(sim, c.x_bar, (Um, T_n, PXm, mask))
         Xg = jnp.concatenate([c.x_bar[None], Xtail[:-1]], axis=0)  # stages 0..N-1
         body = jnp.zeros((N, nxvw), dtype=c.x_bar.dtype).at[:, :n].set(Xg)
         w_guess = jnp.concatenate([body.reshape(-1), xN])
@@ -496,7 +524,7 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
         zdt = c.x_bar.dtype
         par = dict(
             U=Um, Y=Y_n.reshape(N, p), x_bar=c.x_bar,
-            P_inv=jnp.linalg.inv(c.P), T=T_n,
+            P_inv=jnp.linalg.inv(c.P), T=T_n, mask=mask,
             PX=PXm, PY=PY_n.reshape(N, npy),
             Pycondx_inv=(c.sm.Pycondx_inv if smooth
                          else jnp.zeros((pidx, pidx), dtype=zdt)),
@@ -517,11 +545,13 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
 
         if smooth:
             P_new, x_bar_n, sm_n = _smooth_update(
-                c.sm, w_opt, xhat_corr, xkp1k, v_k, w_k, y_k, u_k, t_k,
-                p_x, p_y)
+                c, full, sel, w_opt, xhat_corr, xkp1k, v_k, w_k, y_k, u_k,
+                t_k, p_x, p_y)
         else:
             # 'filter' arrival-cost update from the OLDEST window entries
-            # (Estimator.py:626-650), exactly as MHERuntime does it
+            # (Estimator.py:626-650), exactly as MHERuntime does it; during
+            # the warmup (window not yet full) the prior passes through
+            # unchanged, same as the reference's ksim >= N_mhe-1 guard
             Hd0 = hess_wv(jnp.concatenate([W_n[:n_w], V_n[:p]]), T_n[0])
             H0 = jnp.linalg.inv(Hd0)
             Q0 = H0[:n_w, :n_w]
@@ -534,21 +564,30 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
             A0 = jac_A(X_n[:n], U_s[:m], ts, T_n[0], W_n[:n_w], PX_n[:npx])
             G0 = jac_G(X_n[:n], U_s[:m], ts, T_n[0], W_n[:n_w], PX_n[:npx])
             M0 = -K0 @ S0.T
-            P_new = (A0 @ P_corr @ A0.T + G0 @ Q0 @ G0.T
-                     + A0 @ M0 @ G0.T + G0 @ M0 @ A0.T)
-            x_bar_n = X_n[:n]
+            P_new = sel(full,
+                        A0 @ P_corr @ A0.T + G0 @ Q0 @ G0.T
+                        + A0 @ M0 @ G0.T + G0 @ M0 @ A0.T, c.P)
+            x_bar_n = sel(full, X_n[:n], c.x_bar)
             sm_n = None
 
         c_out = MHECarry(U=U_s[:-m], Y=Y_n, T=T_n, Xmin=Xmin_n, PX=PX_n, PY=PY_n,
-                         X=X_n, V=V_n, W=W_n, x_bar=x_bar_n, P=P_new, sm=sm_n)
+                         X=X_n, V=V_n, W=W_n, x_bar=x_bar_n, P=P_new, sm=sm_n,
+                         steps=(c.steps + 1 if warm else None))
         return c_out, xhat_corr
 
-    def _smooth_update(sm, w_opt, xhat_corr, xkp1k, v_k, w_k, y_k, u_k, t_k,
-                       p_x, p_y):
+    def _smooth_update(c, full, sel, w_opt, xhat_corr, xkp1k, v_k, w_k, y_k,
+                       u_k, t_k, p_x, p_y):
         """The 'smooth' arrival-cost update, traced: bookkeeping KF with the
         Feng cross-covariance term (Estimator.py:558-622), backward Riccati
         smoother (654-664), and the stacked correction-matrix assembly
-        (686-735) — all static shapes, Python loops unrolled at trace."""
+        (686-735) — all static shapes, Python loops unrolled at trace.
+
+        Warmup gating (``full``): the bookkeeping KF and the rolling
+        linearization buffers update every step (the reference appends them
+        from ksim=0, Estimator.py:558-622); the smoother, the stacked
+        assembly, and the P/x_bar prior updates engage only once the window
+        is full (the reference's ksim >= N_mhe-1 guard)."""
+        sm = c.sm
         # current-stage linearization
         Hd = hess_wv(jnp.concatenate([w_k, v_k]), t_k)
         H_k = jnp.linalg.inv(Hd)
@@ -586,7 +625,7 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
             Pim = jnp.linalg.inv(bigP_f[i + 1])
             Pis[i] = bigPc_f[i] + bigPc_f[i] @ bigA_f[i].T @ Pim @ (
                 Pis[i + 1] - bigP_f[i + 1]) @ Pim @ bigA_f[i] @ bigPc_f[i]
-        P_new = Pis[1]
+        P_new = sel(full, Pis[1], c.P)
 
         # shift-one-forward rolling buffers (Estimator.py:671-684):
         # append-then-drop-oldest == drop-oldest-then-append
@@ -638,12 +677,14 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
         QRbig = Qbig[n:, n:]
         Pycondx_inv = jnp.linalg.inv(Gbig @ QRbig @ Gbig.T)
 
-        x_bar_n = w_opt[nxvw : nxvw + n]                 # Estimator.py:749-752
+        x_bar_n = sel(full, w_opt[nxvw : nxvw + n], c.x_bar)  # Estimator.py:749-752
         sm_n = MHESmoothState(
             P_kal=P_kal_n, bigA=bigA_n, bigP=bigP_n, bigPc=bigPc_n,
             bigC=bigC_n, bigG=bigG_n, bigB=bigB_n, bigf=bigf_n, bigh=bigh_n,
-            bigQ=bigQ_n, bigU=bigU_n, Hbig=Hbig, Obig=Obig,
-            Pycondx_inv=Pycondx_inv)
+            bigQ=bigQ_n, bigU=bigU_n,
+            Hbig=sel(full, Hbig, sm.Hbig),
+            Obig=sel(full, Obig, sm.Obig),
+            Pycondx_inv=sel(full, Pycondx_inv, sm.Pycondx_inv))
         return P_new, x_bar_n, sm_n
 
     def carry_from_runtime(rt: "MHERuntime", P_k) -> MHECarry:
@@ -678,3 +719,64 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
             P=jnp.asarray(P_k, dtype=float), sm=sm)
 
     return step, carry_from_runtime
+
+
+def make_mhe_cold_carry(cfg: MPCConfig, px0=None, py0=None, t0=0.0,
+                        u_pad=None) -> MHECarry:
+    """Cold (step-0) :class:`MHECarry` for the fully-traced growing-horizon
+    warmup — no host ``ClosedLoop``/``MHERuntime`` pre-phase needed.
+
+    Window buffers are back-aligned with benign pad values (x_bar in the
+    state slots, identity covariance stacks, the config's u0 in the input
+    slots); ``steps=0`` makes the traced step's per-stage validity mask
+    deactivate the pad stages, reproducing the reference's growing-horizon
+    warmup (MPC_code.py:591-598, Estimator.py:475-512) inside one
+    fixed-shape graph.  Prior/arrival values mirror ``MHERuntime.__init__``
+    (x_bar0 / P0 handling).
+    """
+    est = cfg.estimator
+    N = est.N_mhe
+    nx, nd = cfg.nx, cfg.nd
+    n = nx + nd if cfg.dist.offree != "no" else nx
+    n_w, m, p = n, cfg.nu, cfg.ny
+    npx, npy = cfg.npx, cfg.npy
+    pidx = p * (N if N == 1 else N - 1)
+
+    x_bar0 = est.x_bar0
+    if x_bar0 is None:
+        dh = (np.zeros(nd) if cfg.dhat0 is None
+              else np.asarray(cfg.dhat0, float).reshape(-1))
+        x_bar0 = np.concatenate([np.asarray(cfg.x0_m, float).reshape(-1), dh])[:n]
+    x_bar = jnp.asarray(np.asarray(x_bar0, float).reshape(n))
+    P0 = jnp.asarray(np.asarray(est.P0, float) if est.P0 is not None
+                     else np.eye(n))
+    u_pad = jnp.asarray(np.asarray(cfg.u0 if u_pad is None else u_pad,
+                                   float).reshape(m))
+    px0 = jnp.zeros(npx) if px0 is None else jnp.asarray(px0, dtype=float).reshape(npx)
+    py0 = jnp.zeros(npy) if py0 is None else jnp.asarray(py0, dtype=float).reshape(npy)
+
+    sm = None
+    if est.mhe_up == "smooth":
+        eye_n = jnp.tile(jnp.eye(n)[None], (N - 1, 1, 1))
+        sm = MHESmoothState(
+            P_kal=P0,
+            bigA=eye_n, bigP=eye_n, bigPc=eye_n,
+            bigC=jnp.zeros((N - 1, p, n)), bigG=jnp.zeros((N - 1, n, n_w)),
+            bigB=jnp.zeros((N - 1, n, m)), bigf=jnp.zeros((N - 1, n)),
+            bigh=jnp.zeros((N - 1, p)),
+            # identity inverse-Hessian pads keep the (discarded) warmup
+            # assembly's matrix inversions well-posed — no NaNs under
+            # jax_debug_nans / check_numerics
+            bigQ=jnp.tile(jnp.eye(n_w + p)[None], (N - 1, 1, 1)),
+            bigU=jnp.tile(u_pad[None], (N - 1, 1)),
+            Hbig=jnp.zeros(pidx), Obig=jnp.zeros((pidx, n)),
+            Pycondx_inv=jnp.zeros((pidx, pidx)))
+
+    return MHECarry(
+        U=jnp.tile(u_pad, N - 1),
+        Y=jnp.zeros(N * p),
+        T=jnp.full((N,), float(t0)),
+        Xmin=jnp.tile(x_bar, N),
+        PX=jnp.tile(px0, N), PY=jnp.tile(py0, N),
+        X=jnp.tile(x_bar, N), V=jnp.zeros(N * p), W=jnp.zeros(N * n_w),
+        x_bar=x_bar, P=P0, sm=sm, steps=jnp.asarray(0, jnp.int32))

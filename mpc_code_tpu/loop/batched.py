@@ -22,12 +22,13 @@ scenario cannot stall the batch (reference semantics MPC_code.py:714-718,
 786-805, per-lane).
 
 Estimators supported in traced mode: kalss/lue (static gain), kal, ekf,
-and steady-state MHE (filter and smooth updates).  MHE's growing-horizon
-warmup is host-driven (reference MPC_code.py:591-598 rebuilds solvers per
-horizon): run `ClosedLoop` for >= N_mhe steps, then hand off via
-``init_carry(cfg, mhe=carry_from_runtime(loop.mhe_rt, P),
-state=loop.final_state)`` — the traced continuation is bit-identical to
-the host loop.
+and MHE (filter and smooth updates) — including the growing-horizon
+warmup, which runs traced from step 0 through a masked fixed-shape window
+(``init_carry(cfg)`` builds the cold padded carry; reference semantics
+MPC_code.py:591-598).  A host-driven warmup handoff
+(``init_carry(cfg, mhe=carry_from_runtime(loop.mhe_rt, P),
+state=loop.final_state)``) remains supported and its continuation is
+bit-identical to the host loop.
 """
 
 from __future__ import annotations
@@ -173,8 +174,8 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None,
                 "estimator kind 'kal' requires a LinearModel (reference "
                 "MPC_code.py:643-646); use 'ekf' for nonlinear models")
     if kind == "mhe":
-        # steady-state (full-window) MHE only: warm up host-side with
-        # ClosedLoop/MHERuntime, hand the window to init_carry(..., mhe=...)
+        # traced MHE incl. growing-horizon warmup (init_carry builds the
+        # cold masked window; a host-warmed handoff also still works)
         from mpc_code_tpu.estimators.mhe import make_mhe_traced
 
         mhe_step, _ = make_mhe_traced(cfg, model)
@@ -408,9 +409,11 @@ def init_carry(cfg: MPCConfig, x0=None, mhe=None, state=None,
     (MPC_code.py:442-484).
 
     ``state``: a ``ClosedLoop.final_state`` dict — continue a host-driven
-    simulation in traced mode (e.g. after the MHE growing-horizon warmup).
-    ``mhe``: an ``MHECarry`` from ``make_mhe_traced``'s
-    ``carry_from_runtime`` (required for estimator kind 'mhe').
+    simulation in traced mode.
+    ``mhe``: optional ``MHECarry`` (e.g. from ``make_mhe_traced``'s
+    ``carry_from_runtime`` after a host warmup); when omitted for estimator
+    kind 'mhe', a cold padded carry is built and the growing-horizon
+    warmup runs traced from step 0.
     ``dual_ws``: carry dual/barrier warm-start state for the structured
     OCP solver (default: on whenever the config is structured-eligible —
     chip-measured faster in the warm-started closed-loop regime).  Pass
@@ -428,10 +431,15 @@ def init_carry(cfg: MPCConfig, x0=None, mhe=None, state=None,
     P0 = (jnp.asarray(np.asarray(cfg.estimator.P0, float))
           if cfg.estimator.P0 is not None else jnp.zeros((naug, naug)))
     if cfg.estimator.kind == "mhe" and mhe is None:
-        raise ValueError("estimator kind 'mhe' needs a warmed MHECarry: "
-                         "run the growing-horizon warmup host-side "
-                         "(ClosedLoop / MHERuntime), then pass "
-                         "carry_from_runtime(rt, P) as init_carry(..., mhe=...)")
+        # fully-traced growing-horizon warmup (round 4): a cold padded
+        # window whose masked NLP reproduces the reference's per-horizon
+        # rebuilds (MPC_code.py:591-598) — no host ClosedLoop pre-phase.
+        # A warmed handoff (init_carry(..., mhe=carry_from_runtime(...)))
+        # remains supported and bitwise-matches the pre-round-4 graphs.
+        from mpc_code_tpu.estimators.mhe import make_mhe_cold_carry
+
+        inp0 = default_step_input(cfg)
+        mhe = make_mhe_cold_carry(cfg, px0=inp0.px_h[0], py0=inp0.py_h[0])
     N, nxu = cfg.N, nx + nu
     if cfg.slacks:
         from mpc_code_tpu.ocp.shooting import _user_constraint_dim

@@ -51,7 +51,17 @@ class MHESpec:
 
 def build_mhe_nlp(cfg: MPCConfig, fx_mhe: Callable, fy_es: Callable,
                   f_obj_mhe: Callable, N: int, N_mhe: int,
-                  smooth_correction: bool = False) -> MHESpec:
+                  smooth_correction: bool = False,
+                  maskable: bool = False) -> MHESpec:
+    """``maskable=True`` adds a per-stage validity mask ``par["mask"]``
+    ((N,) bool, back-aligned) so ONE fixed-shape NLP also expresses the
+    reference's growing-horizon warmup problems (Estimator.py:475-512 /
+    MPC_code.py:591-598 rebuild per-horizon solvers; here pad stages get
+    identity dynamics, v pinned to 0, and cost-decoupled w, which makes the
+    padded optimum coincide with the reduced-horizon optimum).  With the
+    mask all-true the residual arithmetic selects the exact same values as
+    the unmasked build (``jnp.where`` on a true predicate), so steady-state
+    solves are unchanged bitwise."""
     nx, nd, p = cfg.nx, cfg.nd, cfg.ny
     n = nx + nd if cfg.dist.offree != "no" else nx
     n_w = n  # noise dimension equals augmented state size (w = SX.sym("w", nx+nd))
@@ -86,17 +96,32 @@ def build_mhe_nlp(cfg: MPCConfig, fx_mhe: Callable, fy_es: Callable,
         W = body[:, n + p :]
         return X, V, W
 
+    if not y_free:
+        # a strictly feasible constant for masked-off y-bound rows: any
+        # finite point inside the (1.5x loosened) output box
+        y_pad = np.clip(np.zeros(p), ymin + 0.5 * ymin + 1e-6,
+                        ymax + 0.5 * ymax - 1e-6)
+
     def g_fn(w, par):
         X, V, W = unpack(w)
         Yk = jax.vmap(lambda x, u, t, py: fy_es(x, u, t, py))(X[:N], par["U"], par["T"], par["PY"]) + V
         yres = Yk - par["Y"]                                   # Utilities.py:911-928
         xnext = jax.vmap(lambda x, u, t, wk, px: fx_mhe(x, u, cfg.h, t, wk, px))(
             X[:N], par["U"], par["T"], W, par["PX"])
+        if maskable:
+            mk = par["mask"][:, None]
+            # pad stages: v_i = 0 replaces the measurement residual, and
+            # x_{i+1} = x_i (identity chain carrying x_bar to the first
+            # valid stage) replaces the dynamics defect
+            yres = jnp.where(mk, yres, V)
+            xnext = jnp.where(mk, xnext, X[:N])
         defect = xnext - X[1:]                                 # Utilities.py:930-932
         inter = jnp.concatenate([yres, defect], axis=1).reshape(-1)  # per-stage [yres; dyn]
         rows = [inter]
         if not y_free:
-            rows.append(Yk.reshape(-1))                        # Utilities.py:925-926
+            Ybnd = Yk if not maskable else jnp.where(
+                par["mask"][:, None], Yk, jnp.asarray(y_pad, dtype=w.dtype))
+            rows.append(Ybnd.reshape(-1))                      # Utilities.py:925-926
         return jnp.concatenate(rows)
 
     def f_fn(w, par):

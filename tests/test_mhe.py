@@ -217,9 +217,80 @@ def test_mhe_mpc_traced_continuation():
     # tolerance rather than bit-exactly
     assert np.abs(uh - np.asarray(us_tr)).max() < 1e-9
 
-    # init_carry without a warmed window must refuse
-    with pytest.raises(ValueError, match="warmed MHECarry"):
-        init_carry(cfg)
+    # fully-traced cold start: init_carry(cfg) with no host warmup runs
+    # the growing-horizon warmup through the masked window and must match
+    # the host loop from step 0 (padded-NLP optimum == reduced-NLP optimum
+    # to solver tolerance)
+    from mpc_code_tpu.loop.batched import run_traced
+
+    _, Ht = run_traced(mkcfg(K0 + T), use_structured=False)
+    np.testing.assert_allclose(Ht["U"], np.asarray(H_full["U"]),
+                               rtol=0, atol=1e-7)
+    np.testing.assert_allclose(Ht["D_HAT"], np.asarray(H_full["D_HAT"]),
+                               rtol=0, atol=1e-7)
+
+
+@pytest.mark.parametrize("up", ["filter", "smooth"])
+def test_mhe_traced_warmup_matches_runtime(up):
+    # the traced growing-horizon warmup (masked fixed-shape window from
+    # make_mhe_cold_carry) must reproduce MHERuntime's per-horizon rebuild
+    # warmup (reference MPC_code.py:591-598) from ksim=0, through the
+    # first-full-window prior update, and into steady state
+    import jax
+
+    from mpc_code_tpu.config import (
+        Bounds, DisturbanceModel, EstimatorConfig, LinearModel, LinearPlant,
+        MHECost, MPCConfig, SSCost, StageCost,
+    )
+    from mpc_code_tpu.estimators.mhe import (
+        MHERuntime, make_mhe_cold_carry, make_mhe_traced,
+    )
+    from mpc_code_tpu.models import build_model
+
+    A = np.array([[0.8, 0.1], [0.0, 0.9]])
+    B = np.array([[0.5], [1.0]])
+    nx, nu, ny, nd = 2, 1, 2, 2
+    cfg = MPCConfig(
+        nx=nx, nu=nu, ny=ny, nd=nd, Nsim=30, N=5, h=1.0,
+        model=LinearModel(A=A, B=B, C=np.eye(2)),
+        plant=LinearPlant(Ap=A, Bp=B, Cp=np.eye(2)),
+        dist=DisturbanceModel(offree="lin", Bd=np.zeros((2, 2)), Cd=np.eye(2)),
+        x0_p=np.array([0.5, -0.2]), x0_m=np.zeros(2), u0=np.zeros(1),
+        ss_cost=SSCost(Qss=np.eye(2), Rss=np.zeros((1, 1))),
+        stage_cost=StageCost(Q=np.eye(2), R=0.1 * np.eye(1)),
+        estimator=EstimatorConfig(
+            kind="mhe", N_mhe=4, mhe_up=up,
+            mhe_cost=MHECost(Q=0.1 * np.eye(nx + nd), R=0.01 * np.eye(ny)),
+            P0=np.eye(nx + nd)),
+        bounds=Bounds(umin=np.array([-3.0]), umax=np.array([3.0])),
+    )
+    model = build_model(cfg)
+    rt = MHERuntime(cfg, model)
+    step_t, _ = make_mhe_traced(cfg, model)
+    sj = jax.jit(step_t)
+
+    rng = np.random.default_rng(1)
+    n = nx + nd
+    x_p = np.array([0.5, -0.2])
+    P_rt = np.eye(n)
+    carry = make_mhe_cold_carry(cfg)
+    x_es_rt = np.zeros(n)
+    # N_mhe-1 warmup steps + the first-full-window step + 3 steady steps
+    for k in range(cfg.estimator.N_mhe + 3):
+        u_k = np.array([np.sin(0.3 * k)])
+        x_p = A @ x_p + B @ u_k + 0.01 * rng.standard_normal(2)
+        y_k = np.eye(2) @ x_p + 0.005 * rng.standard_normal(2)
+        xhat_min = x_es_rt + 0.01 * rng.standard_normal(n)
+        xc_rt, P_rt = rt.step(k, y_k, u_k, xhat_min, float(k),
+                              np.zeros(cfg.npx), np.zeros(cfg.npy), P_rt)
+        carry, xc_tr = sj(carry, y_k, u_k, xhat_min, float(k),
+                          np.zeros(cfg.npx), np.zeros(cfg.npy))
+        # padded warmup NLP == reduced-horizon NLP to solver tolerance
+        # (identical problems but different variable counts, so converged
+        # iterates differ at roundoff-of-tolerance level, not bitwise)
+        assert np.abs(np.asarray(xc_tr) - xc_rt).max() < 1e-8, f"step {k}"
+        assert np.abs(np.asarray(carry.P) - P_rt).max() < 1e-7, f"step {k} P"
+        assert int(carry.steps) == k + 1
 
 
 def test_enmpc_smooth_traced_continuation():
