@@ -102,16 +102,19 @@ def main():
                              ls_parallel=os.environ.get("BENCH_LS", "seq") == "par")
 
     par_scan = os.environ.get("BENCH_PAR", "0") == "1"
-    solve = make_structured_solver(
-        socp, mk_opts(int(os.environ.get("BENCH_MAXIT", "12")),
-                      os.environ.get("BENCH_MU", "monotone")),
-        parallel=par_scan)
-    # the rescue passes always run monotone: it is the most robust
-    # schedule for the hard lanes regardless of the pass-1 strategy
-    solve_rescue = make_structured_solver(
-        socp, mk_opts(int(os.environ.get("BENCH_RESCUE_MAXIT", "40")),
-                      "monotone"),
-        parallel=par_scan)
+    MAXIT1 = int(os.environ.get("BENCH_MAXIT", "12"))
+    MAXIT_R = int(os.environ.get("BENCH_RESCUE_MAXIT", "40"))
+    MU1 = os.environ.get("BENCH_MU", "monotone")
+    # ONE solver serves pass 1 and both rescue stages: the iteration cap is
+    # a per-call runtime argument (riccati solve(..., max_iter=)), so the
+    # pass-1 and rescue graphs are identical per batch shape — the rescue
+    # passes always run monotone (most robust for the hard lanes), and when
+    # BENCH_MU selects another pass-1 strategy a second solver is built
+    solve = make_structured_solver(socp, mk_opts(MAXIT_R, MU1),
+                                   parallel=par_scan)
+    solve_rescue = (solve if MU1 == "monotone" else
+                    make_structured_solver(socp, mk_opts(MAXIT_R, "monotone"),
+                                           parallel=par_scan))
 
     nx, nu, ny, nd = cfg.nx, cfg.nu, cfg.ny, cfg.nd
 
@@ -124,11 +127,12 @@ def main():
     u_cool = np.array([295.0, 0.1], dtype=np.float32)  # rescue warm start
 
     def make_lane(solve=solve):
-        # u_ws enters as an ARGUMENT (not a baked constant) so the two
-        # rescue stages (steady / coolhold warm starts) share ONE compiled
-        # executable — compile time is a first-class cost on the remote
+        # u_ws AND the iteration cap enter as ARGUMENTS (not baked
+        # constants) so pass 1 and the two rescue stages (steady /
+        # coolhold warm starts) share compiled executables per batch
+        # shape — compile time is a first-class cost on the remote
         # toolchain (VERDICT round-3 item 7)
-        def lane(x0, u_ws):
+        def lane(x0, u_ws, max_it):
             par = dict(
                 x0=x0,
                 xs=jnp.asarray(xs), us=jnp.asarray(us),
@@ -151,43 +155,43 @@ def main():
             _, Xtail = jax.lax.scan(sim, x0, None, length=N)
             X0 = jnp.concatenate([x0[None], Xtail], axis=0)
             U0 = jnp.tile(u_ws, (N, 1))
-            return solve(par, X0, U0)
+            return solve(par, X0, U0, max_iter=max_it)
 
-        return jax.jit(jax.vmap(lane, in_axes=(0, None)))
+        return jax.jit(jax.vmap(lane, in_axes=(0, None, None)))
 
     _batched = make_lane()
     us_j = jnp.asarray(us)
     u_cool_j = jnp.asarray(u_cool)
+    mi1_j = jnp.asarray(MAXIT1, jnp.int32)
+    mir_j = jnp.asarray(MAXIT_R, jnp.int32)
 
     def batched(xb):
-        return _batched(xb, us_j)
+        return _batched(xb, us_j, mi1_j)
 
-    # two rescue stages on the failed set, SHARING one compiled
-    # executable (the warm-start input is an argument): (a) same steady
-    # warm start with the full iteration budget — catches lanes that
-    # merely needed more than the pass-1 cap; (b) coolhold warm start —
-    # catches hot initial states whose steady-input rollout ignites and
-    # poisons the warm start
-    _rescue = make_lane(solve=solve_rescue)
+    # two rescue stages on the failed set, sharing executables with pass 1
+    # (warm start and iteration cap are arguments): (a) same steady warm
+    # start with the full iteration budget — catches lanes that merely
+    # needed more than the pass-1 cap; (b) coolhold warm start — catches
+    # hot initial states whose steady-input rollout ignites and poisons
+    # the warm start
+    _rescue = make_lane(solve=solve_rescue) if solve_rescue is not solve else _batched
 
     def rescue_steady(xb):
-        return _rescue(xb, us_j)
+        return _rescue(xb, us_j, mir_j)
 
     def rescue_cool(xb):
-        return _rescue(xb, u_cool_j)
+        return _rescue(xb, u_cool_j, mir_j)
 
     RESCUE_CAP = int(os.environ.get("BENCH_RESCUE_CAP", "512"))
 
     def run_sub(fn, xb_np, sel_all, status, iters, feas, kkt):
-        # process the WHOLE failed set in chunks of at most RESCUE_CAP
-        # lanes, each padded to the smallest power-of-two bucket that fits
-        # (jit caches one executable per shape) — no silent capacity drop
+        # process the WHOLE failed set in chunks padded to exactly
+        # RESCUE_CAP lanes — ONE rescue shape, so the bench compiles
+        # exactly two executables (B and RESCUE_CAP) regardless of how
+        # many lanes fail; no silent capacity drop
         for i0 in range(0, len(sel_all), RESCUE_CAP):
             sel = sel_all[i0 : i0 + RESCUE_CAP]
-            cap = 64
-            while cap < len(sel):
-                cap *= 2
-            xr = np.zeros((cap, nx), np.float32)
+            xr = np.zeros((RESCUE_CAP, nx), np.float32)
             xr[: len(sel)] = xb_np[sel]
             xr[len(sel):] = xb_np[sel[0] if len(sel) else 0]
             r2 = fn(jnp.asarray(xr))
@@ -234,11 +238,24 @@ def main():
         x0s = rng.uniform(xlo, xhi, size=(B, nx)).astype(np.float32)
 
         t0 = time.time()
-        run_pipeline(x0s)
-        # ensure the (shared) rescue executable is compiled even if the
-        # warmup had no failures
-        warm = jnp.asarray(np.tile(x0s[:1], (RESCUE_CAP, 1)))
-        jax.block_until_ready(rescue_steady(warm).U)
+        # compile the two executables (pass-1 at B, rescue at RESCUE_CAP)
+        # CONCURRENTLY — the remote-toolchain XLA compiles are RPC-bound,
+        # so two threads overlap them
+        import concurrent.futures as _cf
+
+        def _compile(nlanes):
+            xa = jnp.asarray(np.tile(x0s[:1], (nlanes, 1)))
+            if nlanes == B:
+                jax.block_until_ready(_batched(xa, us_j, mi1_j).U)
+            else:            # rescue only ever runs at RESCUE_CAP lanes
+                jax.block_until_ready(_rescue(xa, us_j, mir_j).U)
+
+        with _cf.ThreadPoolExecutor(2) as ex:
+            futs = [ex.submit(_compile, n) for n in
+                    ([B, RESCUE_CAP] if B != RESCUE_CAP else [B])]
+            for f in futs:
+                f.result()
+        run_pipeline(x0s)   # warmup run (all executables now cached)
         compile_s = time.time() - t0
 
         times = []

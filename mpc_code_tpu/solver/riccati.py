@@ -1149,7 +1149,7 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
     def _mdiv(num, den, mask):
         return jnp.where(mask, num / jnp.where(mask, den, 1.0), 0.0)
 
-    def solve(p, X0, U0, ws=None) -> StructResult:
+    def solve(p, X0, U0, ws=None, max_iter=None) -> StructResult:
         dtype = jnp.result_type(jnp.asarray(U0).dtype, jnp.float32)
         f32 = jnp.finfo(dtype).eps > 1e-10
         tiny = 1e-30 if f32 else 1e-300
@@ -1949,8 +1949,15 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             return jax.tree_util.tree_map(
                 lambda o, nn: jnp.where(st.done, o, nn), st, cand)
 
+        # max_iter may be overridden per CALL (traced or python scalar):
+        # callers that jit `solve` with the override as a non-static
+        # argument share ONE compiled executable across iteration budgets
+        # (e.g. bench.py's tight pass-1 cap and its 40-iteration rescue) —
+        # compile time is a first-class cost on the remote toolchain
+        it_cap = opts.max_iter if max_iter is None else max_iter
+
         def cond(st):
-            return (~st.done) & (st.it < opts.max_iter)
+            return (~st.done) & (st.it < it_cap)
 
         fin = lax.while_loop(cond, body, st0)
         # fall back to the best-KKT iterate only when the final one is
