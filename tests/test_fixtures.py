@@ -41,13 +41,13 @@ def test_example_matches_fixture(name, Nsim, N):
                     reason="full-size run takes minutes; set MPC_TPU_SLOW=1")
 @pytest.mark.parametrize("name,Nsim,N,out", FULL_CASES, ids=[c[3] for c in FULL_CASES])
 def test_full_size_matches_fixture(name, Nsim, N, out):
-    # the reference's own dimensions (Ex_NMPC.py Nsim=201/N=50) — pins the
-    # regime where ignition/stiffness actually bites
+    # each example at the reference's own dimensions (Ex_*.py Nsim/N) —
+    # pins the regimes where ignition/stiffness/drift actually bite
     path = os.path.join(FIXTURE_DIR, f"{out}.npz")
     if not os.path.exists(path):
         pytest.skip("fixture not recorded")
     ref, meta = load_history(path)
-    H = run_case(name, Nsim, N)
+    H = run_case(name, Nsim, N, full=True)
     for key in ("U", "Yp", "D_HAT"):
         if key not in ref or key not in H or not len(ref[key]):
             continue

@@ -35,37 +35,60 @@ CASES = [
     ("enmpc", 8, 8),
 ]
 
-# full-size flagship run at the reference's own dimensions
-# (Ex_NMPC.py: Nsim=201, N=50) — regression-pinned behind MPC_TPU_SLOW=1
-# (tests/test_fixtures.py) because the run takes minutes on CPU f64
+# full-size runs at the reference's own dimensions (each Ex_*.py's Nsim/N:
+# WB/CSTR Nsim=100, nlplant 200, NMPC 201, NMPC_dis 1000, ENMPC 21) —
+# regression-pinned behind MPC_TPU_SLOW=1 (tests/test_fixtures.py) because
+# the runs take minutes on CPU f64
 FULL_CASES = [
+    ("lmpc_wb", 100, 50, "lmpc_wb_full"),
+    ("lmpc_cstr", 100, 50, "lmpc_cstr_full"),
+    ("lmpc_nlplant", 200, 50, "lmpc_nlplant_full"),
+    ("lmpcxp_nlplant", 200, 50, "lmpcxp_nlplant_full"),
     ("nmpc", 201, 50, "nmpc_full"),
+    ("nmpc_dis", 1000, 50, "nmpc_dis_full"),
+    ("enmpc", 21, 25, "enmpc_full"),
 ]
 
 KEYS = ["Xp", "Yp", "U", "XS", "US", "YS", "X_HAT", "D_HAT"]
 
 
-def run_case(name, Nsim, N):
+def run_case(name, Nsim, N, full=False):
     mod = __import__(f"mpc_code_tpu.examples.{name}", fromlist=["make_config"])
     cfg = mod.make_config(Nsim=Nsim).replace(N=N)
-    if cfg.estimator.kind == "mhe":
+    if cfg.estimator.kind == "mhe" and not full:
+        # reduced-size fast pins shrink the MHE window too; full-size runs
+        # keep the example's own N_mhe (reference dimensions)
         cfg.estimator.N_mhe = 5
     H = ClosedLoop(cfg).run()
     return {k: np.asarray(H[k]) for k in KEYS if len(H[k])}
 
 
 def main():
+    # usage: record_fixtures.py [--full-only [name ...]] [--small-only]
+    args = sys.argv[1:]
+    full_only = "--full-only" in args
+    small_only = "--small-only" in args
+    wanted = [a for a in args if not a.startswith("--")]
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "fixtures")
     os.makedirs(out_dir, exist_ok=True)
-    for name, Nsim, N in CASES:
-        print(f"recording {name} (Nsim={Nsim}, N={N})...")
-        H = run_case(name, Nsim, N)
-        save_history(os.path.join(out_dir, f"{name}.npz"), H, Nsim=Nsim, N=N)
-    for name, Nsim, N, out in FULL_CASES:
-        print(f"recording {out} ({name}, Nsim={Nsim}, N={N})...")
-        H = run_case(name, Nsim, N)
-        save_history(os.path.join(out_dir, f"{out}.npz"), H, Nsim=Nsim, N=N)
+    if not full_only:
+        for name, Nsim, N in CASES:
+            if wanted and name not in wanted:
+                continue
+            print(f"recording {name} (Nsim={Nsim}, N={N})...", flush=True)
+            H = run_case(name, Nsim, N)
+            save_history(os.path.join(out_dir, f"{name}.npz"), H, Nsim=Nsim, N=N)
+    if not small_only:
+        for name, Nsim, N, out in FULL_CASES:
+            if wanted and name not in wanted and out not in wanted:
+                continue
+            import time
+            t0 = time.time()
+            print(f"recording {out} ({name}, Nsim={Nsim}, N={N})...", flush=True)
+            H = run_case(name, Nsim, N, full=True)
+            save_history(os.path.join(out_dir, f"{out}.npz"), H, Nsim=Nsim, N=N)
+            print(f"  {out}: {time.time()-t0:.1f}s", flush=True)
     print("done")
 
 
