@@ -4,7 +4,8 @@ from mpc_code_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
     batched_closed_loop,
+    make_closed_loop_runner,
     init_distributed,
 )
 
-__all__ = ["make_mesh", "shard_batch", "batched_closed_loop", "init_distributed"]
+__all__ = ["make_mesh", "shard_batch", "batched_closed_loop", "make_closed_loop_runner", "init_distributed"]

@@ -52,6 +52,61 @@ def shard_batch(tree, mesh: Mesh, axis: str = "batch"):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def make_closed_loop_runner(cfg: MPCConfig, n_steps: int, batch: int,
+                            mesh: Optional[Mesh] = None, ysp=None, usp=None,
+                            xsp=None):
+    """Build a REUSABLE jitted closed-loop runner: ``runner(x0_batch,
+    inputs=None) -> (final_carry, outputs)``.
+
+    Building the step (`make_mpc_step`) and tracing the scan graph is
+    Python work that costs tens of seconds for solver-bearing steps —
+    measured 25 s at B=1024/steps=20 on the round-4 chip, vs 0.9 s of
+    device execution for the same call.  Constructing the runner once and
+    calling it many times pays that tracing cost once; calling
+    `batched_closed_loop` in a loop pays it per call (its pre-round-4
+    behavior, which understated closed-loop throughput ~25x).
+
+    Calls may supply a ``StepInput`` stack (leading ``(n_steps,)`` axis
+    from ``make_step_inputs``) as ``runner(x0_batch, inputs)``; under a
+    mesh it is replicated across devices at call time.
+    """
+    step = make_mpc_step(cfg, ysp=ysp, usp=usp, xsp=xsp, batch_hint=batch)
+    vstep = jax.vmap(step, in_axes=(0, None))
+
+    def run(carry, inp):
+        def body(c, i):
+            return vstep(c, i)
+
+        return lax.scan(body, carry, inp, length=n_steps)
+
+    init_b = jax.jit(jax.vmap(lambda x0: init_carry(cfg, x0)))
+
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P("batch"))
+        repl = NamedSharding(mesh, P())
+        carry_tpl = jax.eval_shape(init_b,
+                                   jax.ShapeDtypeStruct((batch, cfg.nx),
+                                                        jnp.float32))
+        in_sh = (jax.tree_util.tree_map(lambda _: sharding, carry_tpl), None)
+        run_j = jax.jit(run, in_shardings=in_sh)
+
+        def runner(x0_batch, inputs=None):
+            carry0 = init_b(jnp.asarray(x0_batch))
+            carry0 = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), carry0)
+            if inputs is not None:
+                inputs = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, repl), inputs)
+            return run_j(carry0, inputs)
+    else:
+        run_j = jax.jit(run)
+
+        def runner(x0_batch, inputs=None):
+            return run_j(init_b(jnp.asarray(x0_batch)), inputs)
+
+    return runner
+
+
 def batched_closed_loop(cfg: MPCConfig, x0_batch, n_steps: int,
                         mesh: Optional[Mesh] = None, ysp=None, usp=None,
                         xsp=None, inputs=None):
@@ -65,35 +120,14 @@ def batched_closed_loop(cfg: MPCConfig, x0_batch, n_steps: int,
     schedules — the steady benchmark configuration.
 
     Returns (final_carry, outputs) with outputs leaves shaped
-    (n_steps, batch, ...).  This is the throughput/scaling workhorse: one
-    jit compiles estimator + target NLP + OCP NLP + plant step for every
-    scenario lane.
+    (n_steps, batch, ...).  One-shot convenience wrapper: every call
+    rebuilds and re-traces the step — for repeated runs (benchmarks,
+    sweeps) build a :func:`make_closed_loop_runner` once instead.
     """
     x0_batch = jnp.asarray(x0_batch)
-    step = make_mpc_step(cfg, ysp=ysp, usp=usp, xsp=xsp,
-                         batch_hint=int(x0_batch.shape[0]))
-    vstep = jax.vmap(step, in_axes=(0, None))
-
-    def run(carry, inp):
-        def body(c, i):
-            return vstep(c, i)
-
-        return lax.scan(body, carry, inp, length=n_steps)
-
-    carry0 = jax.vmap(lambda x0: init_carry(cfg, x0))(x0_batch)
-
-    if mesh is not None:
-        sharding = NamedSharding(mesh, P("batch"))
-        carry0 = jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), carry0)
-        repl = NamedSharding(mesh, P())
-        run = jax.jit(run, in_shardings=(
-            jax.tree_util.tree_map(lambda _: sharding, carry0),
-            jax.tree_util.tree_map(lambda _: repl, inputs)),
-            out_shardings=None)
-    else:
-        run = jax.jit(run)
-
-    return run(carry0, inputs)
+    runner = make_closed_loop_runner(cfg, n_steps, int(x0_batch.shape[0]),
+                                     mesh=mesh, ysp=ysp, usp=usp, xsp=xsp)
+    return runner(x0_batch, inputs)
 
 
 def aggregate_metrics(statuses, iters, mesh: Mesh, axis: str = "batch"):

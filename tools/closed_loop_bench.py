@@ -34,7 +34,7 @@ def main():
     ge = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ge)
 
-    from mpc_code_tpu.parallel import batched_closed_loop
+    from mpc_code_tpu.parallel import make_closed_loop_runner
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
@@ -53,17 +53,24 @@ def main():
     x0s = (np.tile(np.asarray(cfg.x0_p, float), (B, 1))
            + rng.normal(scale=0.2, size=(B, cfg.nx))).astype(np.float32)
 
+    # the runner is built (and its scan graph traced + compiled) ONCE;
+    # timed calls then measure device execution — rebuilding per call
+    # hides ~25 s of Python re-tracing inside the "run" and understates
+    # throughput ~25x (round-4 finding, see make_closed_loop_runner)
     t0 = time.time()
-    carry, out = batched_closed_loop(cfg, x0s, n_steps=steps,
+    runner = make_closed_loop_runner(cfg, steps, B,
                                      ysp=np.array([0.2, 0.0, 0.0]))
+    carry, out = runner(x0s)
     np.asarray(carry.x)
     compile_s = time.time() - t0
 
-    t0 = time.time()
-    carry, out = batched_closed_loop(cfg, x0s + np.float32(1e-4), n_steps=steps,
-                                     ysp=np.array([0.2, 0.0, 0.0]))
-    np.asarray(carry.x)
-    run_s = time.time() - t0
+    reps = []
+    for r in range(3):
+        t0 = time.time()
+        carry, out = runner(x0s + np.float32(1e-4 * (r + 1)))
+        np.asarray(carry.x)
+        reps.append(time.time() - t0)
+    run_s = float(np.median(reps))
 
     st = np.asarray(out.status_dyn)
     iters = np.asarray(out.ocp_iters)

@@ -104,9 +104,10 @@ def capture(args):
 
 def parse(trace_dir, top=40):
     """Sum device self-times by event name from the xplane proto."""
-    from xprof.convert import _pywrap_profiler_plugin as _pp  # noqa: F401
-    # fall back to raw xplane proto parsing via xprof's bundled proto
-    from xprof.protobuf import xplane_pb2
+    try:
+        from xprof.protobuf import xplane_pb2
+    except ImportError:  # proto lives under tensorflow's tsl bundle here
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
