@@ -152,6 +152,13 @@ def rk4_stage_jac(f: Callable, Mx: int):
     (8,128)-tiles.  The user ODE must be shape-polymorphic in the sense
     that ``x`` may arrive as (nx,) or (nx, L) with elementwise/indexing/
     matvec ops — true for every reference model form.
+
+    When this wins (chip A/B, TPU v5e round 3): the lane-packed layout is
+    FASTER in the warm-started small-batch closed-loop regime (B~1024:
+    880 vs 699 steps/s) and SLOWER in the cold big-batch regime (B>=4096:
+    7.9k vs 10.2k solves/s) — the solver picks per-regime at build time
+    via ``build_structured_ocp(..., batch_hint=...)``; ``MPC_TPU_FAST_SWEEP``
+    remains a manual override only.
     """
     from jax.custom_batching import custom_vmap
 
@@ -224,8 +231,10 @@ def map_stage_jac(f: Callable):
     ``x_next = f(x, u, d, t, px)`` (the NL-discrete model form,
     Utilities.py:186-198) evaluated at N independent stage points.
     Unbatched: vmap of jacfwd.  Under vmap: lanes-minor layout, one
-    `jax.linearize` + nx+nu tangent applications — same rationale as
-    `rk4_stage_jac` (hand-rolled integrators inside user maps, e.g. the
+    `jax.linearize` + nx+nu tangent applications — same rationale AND the
+    same per-regime win/lose profile as `rk4_stage_jac` (wins warm
+    small-batch, loses cold big-batch; selected via ``batch_hint``)
+    (hand-rolled integrators inside user maps, e.g. the
     quadruple tank's internal RK4, hit the identical batch-major layout
     pathology).
     """
@@ -288,6 +297,10 @@ def rk4_quad_stage_hess(f: Callable, q: Callable, Mx: int):
     forward-over-reverse (jvp of the vjp-gradient, one pass per tangent
     direction).  Per-lane independence makes a ones-cotangent vjp return
     exact per-lane gradients.
+
+    When this wins: same per-regime profile as `rk4_stage_jac` (warm
+    small-batch yes, cold big-batch no) — selected at build time via
+    ``batch_hint``; `MPC_TPU_FAST_SWEEP` overrides manually.
     """
     from jax.custom_batching import custom_vmap
 
