@@ -227,6 +227,13 @@ class EstimatorConfig:
     Mx_mhe: int = 10
     mhe_cost: Optional[MHECost] = None
     x_bar0: Optional[Array] = None
+    # MHE solver engine: True (default) maps the window NLP onto the
+    # stagewise Riccati IPM (ocp/mhe.py::build_structured_mhe — no dense
+    # KKT factorization custom-calls on the chip); False keeps the dense
+    # IPM, whose converged iterates the structured path matches to solver
+    # tolerance.  Applies to MHERuntime and make_mhe_traced alike, so the
+    # host loop and the traced loop always run the same engine.
+    structured_mhe: bool = True
 
 
 # ---------------------------------------------------------------------------

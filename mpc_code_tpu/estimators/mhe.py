@@ -107,7 +107,14 @@ class MHERuntime:
         if N not in self._solvers:
             spec = build_mhe_nlp(self.cfg, self.fx_mhe, self.fy_es, self.f_obj_mhe,
                                  N, self.N_mhe)
-            solve = jax.jit(make_solver(spec.nlp, self.cfg.sol_opts_mhe))
+            if self.cfg.estimator.structured_mhe:
+                from mpc_code_tpu.ocp.mhe import make_structured_mhe_solver
+
+                solve = jax.jit(make_structured_mhe_solver(
+                    self.cfg, self.fx_mhe, self.fy_es, self.f_obj_mhe,
+                    N, self.N_mhe))
+            else:
+                solve = jax.jit(make_solver(spec.nlp, self.cfg.sol_opts_mhe))
             self._solvers[N] = (spec, solve)
         return self._solvers[N]
 
@@ -456,7 +463,15 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
     pidx = p * (N - 1)
 
     spec = build_mhe_nlp(cfg, fx_mhe, fy_es, f_obj_mhe, N, N, maskable=True)
-    solve = make_solver(spec.nlp, cfg.sol_opts_mhe)
+    if est.structured_mhe:
+        # stagewise Riccati engine (build_structured_mhe): same converged
+        # point to solver tolerance, no dense-KKT LU custom-calls on chip
+        from mpc_code_tpu.ocp.mhe import make_structured_mhe_solver
+
+        solve = make_structured_mhe_solver(cfg, fx_mhe, fy_es, f_obj_mhe,
+                                           N, N, maskable=True)
+    else:
+        solve = make_solver(spec.nlp, cfg.sol_opts_mhe)
     lbw = jnp.asarray(spec.lbw)
     ubw = jnp.asarray(spec.ubw)
     lbg = jnp.asarray(spec.lbg)
