@@ -101,6 +101,9 @@ class MHERuntime:
         self.Pycondx_inv = np.zeros((pidx, pidx))
 
         self._solvers: Dict[int, tuple] = {}
+        # dual/barrier warm start across steady-state structured solves
+        # (None until the first full-window solve completes)
+        self._duals = None
 
     # ------------------------------------------------------------------
     def _solver(self, N: int):
@@ -112,7 +115,7 @@ class MHERuntime:
 
                 solve = jax.jit(make_structured_mhe_solver(
                     self.cfg, self.fx_mhe, self.fy_es, self.f_obj_mhe,
-                    N, self.N_mhe))
+                    N, self.N_mhe, return_duals=N == self.N_mhe))
             else:
                 solve = jax.jit(make_solver(spec.nlp, self.cfg.sol_opts_mhe))
             self._solvers[N] = (spec, solve)
@@ -194,7 +197,20 @@ class MHERuntime:
         # keep the latest NLP inputs for independent solver-parity tests
         self.last_nlp = dict(w0=w_guess.copy(), N=N,
                              par={k: np.asarray(v) for k, v in par.items()})
-        res = solve(jnp.asarray(w_guess), par, spec.lbw, spec.ubw, spec.lbg, spec.ubg)
+        if self.cfg.estimator.structured_mhe and N == N_mhe:
+            # full-window structured solve: dual/barrier warm start carried
+            # across steps (shifted one window stage), cold while any
+            # previous solve was a warmup horizon — the traced step's gate
+            # (steps >= N_mhe) mirrors this exactly
+            res, duals = solve(jnp.asarray(w_guess), par, spec.lbw, spec.ubw,
+                               spec.lbg, spec.ubg, ws=self._duals)
+            from mpc_code_tpu.ocp.mhe import shift_mhe_duals
+
+            self._duals = jax.tree_util.tree_map(jnp.asarray,
+                                                 shift_mhe_duals(duals))
+        else:
+            res = solve(jnp.asarray(w_guess), par, spec.lbw, spec.ubw,
+                        spec.lbg, spec.ubg)
         w_opt = np.asarray(res.w)
 
         xkp1k = w_opt[-n:]
@@ -412,6 +428,11 @@ class MHECarry(NamedTuple):
     # NLP's per-stage validity mask deactivates.  carry_from_runtime hands
     # off a full window, so it sets steps = N_mhe (always-full behavior).
     steps: Any = None
+    # structured-engine dual/barrier warm start (shifted one window stage
+    # each step; engaged only once the PREVIOUS solve had a full window,
+    # mirroring MHERuntime's steady-state-only warm start).  None = cold
+    # solve every step (dense engine, or warm start disabled).
+    duals: Any = None
 
 
 def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
@@ -466,10 +487,13 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
     if est.structured_mhe:
         # stagewise Riccati engine (build_structured_mhe): same converged
         # point to solver tolerance, no dense-KKT LU custom-calls on chip
-        from mpc_code_tpu.ocp.mhe import make_structured_mhe_solver
+        from mpc_code_tpu.ocp.mhe import (
+            make_structured_mhe_solver, shift_mhe_duals,
+        )
 
         solve = make_structured_mhe_solver(cfg, fx_mhe, fy_es, f_obj_mhe,
-                                           N, N, maskable=True)
+                                           N, N, maskable=True,
+                                           return_duals=True)
     else:
         solve = make_solver(spec.nlp, cfg.sol_opts_mhe)
     lbw = jnp.asarray(spec.lbw)
@@ -546,7 +570,23 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
             Hbig=c.sm.Hbig if smooth else jnp.zeros(pidx, dtype=zdt),
             Obig=c.sm.Obig if smooth else jnp.zeros((pidx, n), dtype=zdt),
         )
-        res = solve(w_guess, par, lbw, ubw, lbg, ubg)
+        if est.structured_mhe:
+            if c.duals is not None:
+                # engage the dual warm start only once the PREVIOUS solve
+                # had a full window (runtime solves cold through its
+                # per-horizon warmup — this gate keeps the two engines'
+                # iterates identical step by step)
+                full_prev = (c.steps >= N) if warm else jnp.asarray(True)
+                ws_in = {**c.duals, "ok": c.duals["ok"] & full_prev}
+            else:
+                ws_in = None
+            res, duals_raw = solve(w_guess, par, lbw, ubw, lbg, ubg,
+                                   ws=ws_in)
+            duals_out = (shift_mhe_duals(duals_raw)
+                         if c.duals is not None else None)
+        else:
+            res = solve(w_guess, par, lbw, ubw, lbg, ubg)
+            duals_out = None
         w_opt = res.w
 
         xkp1k = w_opt[-n:]
@@ -587,7 +627,8 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
 
         c_out = MHECarry(U=U_s[:-m], Y=Y_n, T=T_n, Xmin=Xmin_n, PX=PX_n, PY=PY_n,
                          X=X_n, V=V_n, W=W_n, x_bar=x_bar_n, P=P_new, sm=sm_n,
-                         steps=(c.steps + 1 if warm else None))
+                         steps=(c.steps + 1 if warm else None),
+                         duals=duals_out)
         return c_out, xhat_corr
 
     def _smooth_update(c, full, sel, w_opt, xhat_corr, xkp1k, v_k, w_k, y_k,
@@ -726,12 +767,21 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
                 bigU=st(rt.bigU), Hbig=jnp.asarray(rt.Hbig, dtype=float),
                 Obig=jnp.asarray(rt.Obig, dtype=float),
                 Pycondx_inv=jnp.asarray(rt.Pycondx_inv, dtype=float))
+        duals = None
+        if est.structured_mhe:
+            # hand the runtime's carried duals to the traced continuation
+            # so its first solve warm-starts exactly as the host loop's
+            # next solve would (zeros/ok=False if none carried yet)
+            from mpc_code_tpu.ocp.mhe import mhe_dual_zeros
+
+            duals = (jax.tree_util.tree_map(jnp.asarray, rt._duals)
+                     if rt._duals is not None else mhe_dual_zeros(cfg, N))
         return MHECarry(
             U=jnp.asarray(rt.U), Y=jnp.asarray(rt.Y), T=jnp.asarray(rt.T),
             Xmin=jnp.asarray(rt.Xmin), PX=jnp.asarray(rt.PX),
             PY=jnp.asarray(rt.PY), X=jnp.asarray(rt.X), V=jnp.asarray(rt.V),
             W=jnp.asarray(rt.W), x_bar=jnp.asarray(rt.x_bar),
-            P=jnp.asarray(P_k, dtype=float), sm=sm)
+            P=jnp.asarray(P_k, dtype=float), sm=sm, duals=duals)
 
     return step, carry_from_runtime
 
@@ -787,6 +837,12 @@ def make_mhe_cold_carry(cfg: MPCConfig, px0=None, py0=None, t0=0.0,
             Hbig=jnp.zeros(pidx), Obig=jnp.zeros((pidx, n)),
             Pycondx_inv=jnp.zeros((pidx, pidx)))
 
+    duals = None
+    if est.structured_mhe:
+        from mpc_code_tpu.ocp.mhe import mhe_dual_zeros
+
+        duals = mhe_dual_zeros(cfg, N)
+
     return MHECarry(
         U=jnp.tile(u_pad, N - 1),
         Y=jnp.zeros(N * p),
@@ -794,4 +850,5 @@ def make_mhe_cold_carry(cfg: MPCConfig, px0=None, py0=None, t0=0.0,
         Xmin=jnp.tile(x_bar, N),
         PX=jnp.tile(px0, N), PY=jnp.tile(py0, N),
         X=jnp.tile(x_bar, N), V=jnp.zeros(N * p), W=jnp.zeros(N * n_w),
-        x_bar=x_bar, P=P0, sm=sm, steps=jnp.asarray(0, jnp.int32))
+        x_bar=x_bar, P=P0, sm=sm, steps=jnp.asarray(0, jnp.int32),
+        duals=duals)

@@ -393,7 +393,8 @@ def make_structured_mhe_solver(cfg: MPCConfig, fx_mhe: Callable,
                                fy_es: Callable, f_obj_mhe: Callable,
                                N: int, N_mhe: int,
                                smooth_correction: bool = False,
-                               maskable: bool = False, opts=None):
+                               maskable: bool = False, opts=None,
+                               return_duals: bool = False):
     """Structured-MHE solve with the DENSE solver's call signature:
     ``solve(w_guess, par, lbw, ubw, lbg, ubg) -> IPMResult`` (bounds args
     accepted for interface parity and ignored — they are baked into the
@@ -401,8 +402,14 @@ def make_structured_mhe_solver(cfg: MPCConfig, fx_mhe: Callable,
     `make_mhe_traced`; the returned ``w`` uses the dense flat layout
     ``[x_0, v_0, w_0, ..., x_{N-1}, v_{N-1}, w_{N-1}, x_N]`` with the
     eliminated ``v`` reconstructed from the measurement equality.
+
+    ``ws``: optional dual/barrier warm start (the structured solver's
+    ``solve(..., ws=)`` dict).  ``return_duals=True`` makes the call
+    return ``(IPMResult, duals)`` where ``duals`` is that dict for the
+    NEXT solve (shift it one window stage first — see
+    `shift_mhe_duals`).
     """
-    from mpc_code_tpu.solver.nlp import IPMResult
+    from mpc_code_tpu.solver.nlp import IPMResult, STATUS_INFEASIBLE
     from mpc_code_tpu.solver.riccati import make_structured_solver
 
     socp, meta = build_structured_mhe(
@@ -431,8 +438,57 @@ def make_structured_mhe_solver(cfg: MPCConfig, fx_mhe: Callable,
         Vw = jax.vmap(lambda z, k: v_of(z, k, par))(Xw[:N], ks)
         body_o = jnp.concatenate([Xw[:N], Vw, Ww], axis=1).reshape(-1)
         w_opt = jnp.concatenate([body_o, Xw[N]])
-        return IPMResult(w=w_opt, f=rs.f, lam_g=jnp.zeros(0, dtype=w_opt.dtype),
-                         status=rs.status, iters=rs.iters,
-                         kkt_err=rs.kkt_err, feas_err=rs.feas_err)
+        res = IPMResult(w=w_opt, f=rs.f, lam_g=jnp.zeros(0, dtype=w_opt.dtype),
+                        status=rs.status, iters=rs.iters,
+                        kkt_err=rs.kkt_err, feas_err=rs.feas_err)
+        if not return_duals:
+            return res
+        duals = dict(zl=rs.zl, zu=rs.zu, lam=rs.lam, nus=rs.nus,
+                     mu=rs.mu, sf=rs.sf,
+                     ok=rs.status != STATUS_INFEASIBLE)
+        return res, duals
 
     return solve
+
+
+def mhe_dual_zeros(cfg: MPCConfig, N: int, dtype=None):
+    """Zero (cold) dual warm-start dict for the structured MHE solve —
+    matches the shapes `make_structured_mhe_solver(return_duals=True)`
+    emits, with ``ok=False`` so the solver's per-lane gate falls back to
+    its cold initialization."""
+    nx, nd, p = cfg.nx, cfg.nd, cfg.ny
+    n = nx + nd if cfg.dist.offree != "no" else nx
+    b = cfg.bounds
+    y_free = b.ymin is None and b.ymax is None
+    # row-count logic mirrors build_structured_mhe's y_free/v_box/w_box
+    wmin = np.full(n, -np.inf) if b.wmin is None else np.asarray(b.wmin, float).reshape(-1)
+    wmax = np.full(n, np.inf) if b.wmax is None else np.asarray(b.wmax, float).reshape(-1)
+    vmin = np.full(p, -np.inf) if b.vmin is None else np.asarray(b.vmin, float).reshape(-1)
+    vmax = np.full(p, np.inf) if b.vmax is None else np.asarray(b.vmax, float).reshape(-1)
+    ni = ((0 if y_free else p)
+          + (p if (np.isfinite(vmin).any() or np.isfinite(vmax).any()) else 0)
+          + (n if (np.isfinite(wmin).any() or np.isfinite(wmax).any()) else 0))
+    N_s = N + 1
+    nzs = n + n + ni
+    if dtype is None:
+        # canonical float: f64 under x64, f32 otherwise (matches what the
+        # structured solve emits, keeping the scan carry dtype-stable)
+        dtype = jnp.asarray(0.0).dtype
+    z = jnp.zeros((N_s, nzs), dtype=dtype)
+    return dict(zl=z, zu=z, lam=jnp.zeros((N_s, n), dtype=dtype),
+                nus=jnp.zeros((N_s, ni), dtype=dtype),
+                mu=jnp.zeros((), dtype=dtype),
+                sf=jnp.ones((), dtype=dtype),
+                ok=jnp.zeros((), dtype=bool))
+
+
+def shift_mhe_duals(d):
+    """Shift structured-MHE duals one window stage (the window advanced by
+    one measurement): structured stage k took over old stage k+1's
+    subproblem for k >= 1, the newest stage repeats the last, and the
+    virtual arrival stage keeps its own duals."""
+    def sh(a):
+        return jnp.concatenate([a[:1], a[2:], a[-1:]], axis=0)
+
+    return dict(zl=sh(d["zl"]), zu=sh(d["zu"]), lam=sh(d["lam"]),
+                nus=sh(d["nus"]), mu=d["mu"], sf=d["sf"], ok=d["ok"])
