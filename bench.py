@@ -165,9 +165,6 @@ def main():
     mi1_j = jnp.asarray(MAXIT1, jnp.int32)
     mir_j = jnp.asarray(MAXIT_R, jnp.int32)
 
-    def batched(xb):
-        return _batched(xb, us_j, mi1_j)
-
     # two rescue stages on the failed set, sharing executables with pass 1
     # (warm start and iteration cap are arguments): (a) same steady warm
     # start with the full iteration budget — catches lanes that merely
@@ -176,11 +173,49 @@ def main():
     # the warm start
     _rescue = make_lane(solve=solve_rescue) if solve_rescue is not solve else _batched
 
+    # --- AOT artifact cache (utils/aot.py): tracing + lowering the solver
+    # costs ~57 s per (function, shape) on the remote toolchain vs ~13 s
+    # of cache-served backend compile; jax.export snapshots the traced
+    # StableHLO so warm bench runs skip Python tracing entirely (measured
+    # 0.0 s load + ~5 s compile-from-cache).  Keyed by the BENCH_* knobs,
+    # arg shapes, jax version/platform, and the library source hash —
+    # edits invalidate artifacts instead of serving stale behavior.
+    AOT = os.environ.get("BENCH_AOT", "1") == "1"
+    _aot_key = "bench|" + "|".join(
+        f"{k}={os.environ.get(k, '')}" for k in (
+            "BENCH_N", "BENCH_MAXIT", "BENCH_RESCUE_MAXIT", "BENCH_MU",
+            "BENCH_TOL", "BENCH_MU_INIT", "BENCH_HESS", "BENCH_LS",
+            "BENCH_PAR"))
+
+    def _shaped(nl):
+        return (jax.ShapeDtypeStruct((nl, nx), jnp.float32),
+                jax.ShapeDtypeStruct((nu,), jnp.float32),
+                jax.ShapeDtypeStruct((), jnp.int32))
+
+    _exec_cache = {}
+
+    def _exec(fn, tag, nl):
+        kk = (tag, nl)
+        if kk not in _exec_cache:
+            if AOT:
+                from mpc_code_tpu.utils.aot import export_cached
+
+                _exec_cache[kk] = export_cached(fn, f"{_aot_key}|{tag}",
+                                                _shaped(nl), verbose=True)
+            else:
+                _exec_cache[kk] = fn
+        return _exec_cache[kk]
+
+    _r_tag = "pass1" if _rescue is _batched else "rescue"
+
+    def batched(xb):
+        return _exec(_batched, "pass1", xb.shape[0])(xb, us_j, mi1_j)
+
     def rescue_steady(xb):
-        return _rescue(xb, us_j, mir_j)
+        return _exec(_rescue, _r_tag, xb.shape[0])(xb, us_j, mir_j)
 
     def rescue_cool(xb):
-        return _rescue(xb, u_cool_j, mir_j)
+        return _exec(_rescue, _r_tag, xb.shape[0])(xb, u_cool_j, mir_j)
 
     RESCUE_CAP = int(os.environ.get("BENCH_RESCUE_CAP", "512"))
 
@@ -246,9 +281,9 @@ def main():
         def _compile(nlanes):
             xa = jnp.asarray(np.tile(x0s[:1], (nlanes, 1)))
             if nlanes == B:
-                jax.block_until_ready(_batched(xa, us_j, mi1_j).U)
+                jax.block_until_ready(batched(xa).U)
             else:            # rescue only ever runs at RESCUE_CAP lanes
-                jax.block_until_ready(_rescue(xa, us_j, mir_j).U)
+                jax.block_until_ready(rescue_steady(xa).U)
 
         with _cf.ThreadPoolExecutor(2) as ex:
             futs = [ex.submit(_compile, n) for n in
