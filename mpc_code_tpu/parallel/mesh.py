@@ -54,7 +54,7 @@ def shard_batch(tree, mesh: Mesh, axis: str = "batch"):
 
 def make_closed_loop_runner(cfg: MPCConfig, n_steps: int, batch: int,
                             mesh: Optional[Mesh] = None, ysp=None, usp=None,
-                            xsp=None):
+                            xsp=None, aot_key: Optional[str] = None):
     """Build a REUSABLE jitted closed-loop runner: ``runner(x0_batch,
     inputs=None) -> (final_carry, outputs)``.
 
@@ -65,6 +65,15 @@ def make_closed_loop_runner(cfg: MPCConfig, n_steps: int, batch: int,
     calling it many times pays that tracing cost once; calling
     `batched_closed_loop` in a loop pays it per call (its pre-round-4
     behavior, which understated closed-loop throughput ~25x).
+
+    ``aot_key``: opt-in persistent artifact cache for the traced scan
+    graph (utils/aot.py) — pass a string that uniquely identifies the
+    CONFIG (the cache key also folds in shapes, platform, jax version,
+    and the library source hash, so collisions require an identical key
+    for a genuinely different MPCConfig).  A warm process then skips
+    tracing entirely: the deployment restart path.  Only the unsharded
+    no-inputs runner supports it (mesh/input shardings are not part of
+    the exported artifact).
 
     Calls may supply a ``StepInput`` stack (leading ``(n_steps,)`` axis
     from ``make_step_inputs``) as ``runner(x0_batch, inputs)``; under a
@@ -80,6 +89,29 @@ def make_closed_loop_runner(cfg: MPCConfig, n_steps: int, batch: int,
         return lax.scan(body, carry, inp, length=n_steps)
 
     init_b = jax.jit(jax.vmap(lambda x0: init_carry(cfg, x0)))
+
+    if aot_key is not None:
+        if mesh is not None:
+            raise ValueError("aot_key supports the unsharded runner only")
+        from mpc_code_tpu.utils.aot import export_cached
+
+        # canonical float (f64 under x64, f32 otherwise) — the template
+        # dtypes must match what runner calls will actually pass
+        fdt = jnp.asarray(0.0).dtype
+        carry_tpl = jax.eval_shape(
+            init_b, jax.ShapeDtypeStruct((batch, cfg.nx), fdt))
+        run_j = export_cached(
+            jax.jit(lambda carry: run(carry, None)),
+            f"closed_loop|{aot_key}|steps={n_steps}", (carry_tpl,))
+
+        def runner(x0_batch, inputs=None):
+            if inputs is not None:
+                raise ValueError("the AOT runner is exported without a "
+                                 "StepInput stack; build it with the input "
+                                 "shapes instead (aot_key=None)")
+            return run_j(init_b(jnp.asarray(x0_batch)))
+
+        return runner
 
     if mesh is not None:
         sharding = NamedSharding(mesh, P("batch"))

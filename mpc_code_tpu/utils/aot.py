@@ -34,10 +34,14 @@ def _register_serializations() -> bool:
     serialization (needed both to export and to deserialize)."""
     from jax import export as jexport
 
+    from mpc_code_tpu.estimators.mhe import MHECarry, MHESmoothState
+    from mpc_code_tpu.loop.batched import MPCCarry, MPCStepOut
+    from mpc_code_tpu.loop.schedules import StepInput
     from mpc_code_tpu.solver.nlp import IPMResult
     from mpc_code_tpu.solver.riccati import StructResult
 
-    for t in (StructResult, IPMResult):
+    for t in (StructResult, IPMResult, MPCCarry, MPCStepOut, MHECarry,
+              MHESmoothState, StepInput):
         try:
             jexport.register_namedtuple_serialization(
                 t, serialized_name=f"mpc_code_tpu.{t.__name__}")
@@ -83,9 +87,10 @@ def export_cached(fn: Callable, key: str, args_shapes: Sequence[Any],
     cache_dir = cache_dir or os.environ.get(
         "MPC_TPU_AOT_CACHE", "/tmp/mpc_tpu_aot_cache")
     platform = jax.default_backend()
+    flat_shapes, treedef = jax.tree_util.tree_flatten(tuple(args_shapes))
     full = hashlib.sha256("|".join(
-        [jax.__version__, platform, key, _source_tree_hash()]
-        + [f"{tuple(s.shape)}:{s.dtype}" for s in args_shapes]
+        [jax.__version__, platform, key, _source_tree_hash(), str(treedef)]
+        + [f"{tuple(s.shape)}:{s.dtype}" for s in flat_shapes]
     ).encode()).hexdigest()[:24]
     path = os.path.join(cache_dir, f"{full}.jaxexp")
 

@@ -61,3 +61,32 @@ def test_aggregate_metrics_psum():
     assert out["n_total"] == 64
     assert out["max_iters"] == int(it.max())
     assert out["sum_iters"] == int(it.sum())
+
+
+def test_closed_loop_runner_reuse_and_aot(tmp_path, monkeypatch):
+    # make_closed_loop_runner: one build, many calls, matches the one-shot
+    # wrapper; with aot_key the traced scan persists and a reloaded
+    # artifact reproduces the run exactly (utils/aot.py)
+    from mpc_code_tpu.parallel import make_closed_loop_runner
+
+    monkeypatch.setenv("MPC_TPU_AOT_CACHE", str(tmp_path))
+    cfg = _cfg()
+    B = 4
+    x0s = np.tile(np.asarray(cfg.x0_p, float), (B, 1)) + 0.1 * np.arange(B)[:, None]
+    ysp = np.array([0.2, 0.0, 0.0])
+
+    _, ref = batched_closed_loop(cfg, x0s, n_steps=2, ysp=ysp)
+    runner = make_closed_loop_runner(cfg, 2, B, ysp=ysp)
+    _, o1 = runner(x0s)
+    _, o2 = runner(x0s + 1e-6)
+    assert np.allclose(np.asarray(o1.u), np.asarray(ref.u), atol=0)
+    assert not np.array_equal(np.asarray(o2.u), np.asarray(o1.u))
+
+    r_aot = make_closed_loop_runner(cfg, 2, B, ysp=ysp, aot_key="test-clr")
+    _, oa = r_aot(x0s)
+    assert np.allclose(np.asarray(oa.u), np.asarray(ref.u), atol=0)
+    assert len(list(tmp_path.glob("*.jaxexp"))) == 1
+    # second build LOADS the artifact and agrees bitwise
+    r_aot2 = make_closed_loop_runner(cfg, 2, B, ysp=ysp, aot_key="test-clr")
+    _, ob = r_aot2(x0s)
+    assert np.array_equal(np.asarray(ob.u), np.asarray(oa.u))

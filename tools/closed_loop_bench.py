@@ -59,7 +59,8 @@ def main():
     # throughput ~25x (round-4 finding, see make_closed_loop_runner)
     t0 = time.time()
     runner = make_closed_loop_runner(cfg, steps, B,
-                                     ysp=np.array([0.2, 0.0, 0.0]))
+                                     ysp=np.array([0.2, 0.0, 0.0]),
+                                     aot_key=f"clb-small-cstr-N20-mi{max_it}")
     carry, out = runner(x0s)
     np.asarray(carry.x)
     compile_s = time.time() - t0

@@ -97,14 +97,30 @@ def main():
     def run(c, inp):
         return jax.lax.scan(lambda cc, ii: vstep(cc, ii), c, inp)
 
-    t0 = time.time()
-    carry_out, outs = run(carryB, inputs)
-    jax.block_until_ready(carry_out.x)
-    compile_s = time.time() - t0
+    # persistent AOT artifact (utils/aot.py): a warm process skips the
+    # ~60 s scan-graph trace; key covers the bench's shape-defining knobs
+    from mpc_code_tpu.utils.aot import export_cached
+
+    run = export_cached(
+        run, f"enmpc-bench|warm={int(warm_handoff)}|N={N}|Nmhe={N_mhe}",
+        jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+            (carryB, inputs)),
+        verbose=True)
 
     t0 = time.time()
     carry_out, outs = run(carryB, inputs)
-    jax.block_until_ready(carry_out.x)
+    np.asarray(carry_out.x)
+    compile_s = time.time() - t0
+
+    # measurement hygiene on the remote platform (both observed round 4):
+    # (a) the timed call must not reuse the warmup call's exact input
+    # buffers, and (b) block_until_ready can return without waiting —
+    # fetch a VALUE (np.asarray) inside the timed region instead
+    carryB2 = carryB._replace(x=carryB.x + jnp.float32(1e-4))
+    t0 = time.time()
+    carry_out, outs = run(carryB2, inputs)
+    np.asarray(carry_out.x)
     run_s = time.time() - t0
 
     st_dyn = np.asarray(outs.status_dyn)
