@@ -29,7 +29,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mpc_code_tpu.config import MPCConfig
-from mpc_code_tpu.loop.batched import MPCCarry, init_carry, make_mpc_step
+from mpc_code_tpu.loop.batched import init_carry, make_mpc_step
 
 
 def init_distributed(**kw):
