@@ -99,7 +99,8 @@ def main():
                              mu_init=float(os.environ.get("BENCH_MU_INIT", "1e-1")),
                              hessian=os.environ.get("BENCH_HESS", "gauss_newton"),
                              mu_strategy=mu_strategy,
-                             ls_parallel=os.environ.get("BENCH_LS", "seq") == "par")
+                             ls_parallel=os.environ.get("BENCH_LS", "seq") == "par",
+                             sweep_every=int(os.environ.get("BENCH_SWEEP_EVERY", "1")))
 
     par_scan = os.environ.get("BENCH_PAR", "0") == "1"
     MAXIT1 = int(os.environ.get("BENCH_MAXIT", "12"))
@@ -185,7 +186,7 @@ def main():
         f"{k}={os.environ.get(k, '')}" for k in (
             "BENCH_N", "BENCH_MAXIT", "BENCH_RESCUE_MAXIT", "BENCH_MU",
             "BENCH_TOL", "BENCH_MU_INIT", "BENCH_HESS", "BENCH_LS",
-            "BENCH_PAR"))
+            "BENCH_PAR", "BENCH_SWEEP_EVERY"))
 
     def _shaped(nl):
         return (jax.ShapeDtypeStruct((nl, nx), jnp.float32),

@@ -337,6 +337,18 @@ class SolverOptions:
     # damped), backstopped by the solver's best-KKT-iterate bookkeeping.
     # Structured solver only.
     ls_mode: str = "adaptive"
+    # EXPERIMENTAL: re-linearize every K-th iteration only (K > 1), taking
+    # K-1 modified-Newton steps between full derivative sweeps — stale
+    # Jacobians/Hessians with freshly re-evaluated primal values and cost
+    # gradients.  The sweep is ~76% of the iteration wall at bench batches
+    # (round-4 trace), but chip-measured K=2 LOSES on the cold bench: the
+    # iteration count grows ~50% (CPU f64: 13/14/18 -> 19/23/27 to the
+    # same optima) and the bench median drops 26.5k -> 24.5k solves/s
+    # (best ~unchanged, ok 16376 vs 16377) — the extra modified-Newton
+    # iterations eat the sweep saving.  Kept opt-in for workloads with
+    # slowly-varying Jacobians (long-horizon tracking near steady state).
+    # Structured solver only.
+    sweep_every: int = 1
 
     @classmethod
     def for_f32(cls, max_iter: int = 30, hessian: str = "exact",

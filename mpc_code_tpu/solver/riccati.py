@@ -1317,13 +1317,16 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
         def barrier_phi(Z, mu, cost_val):
             return cost_val - mu * bar_of(Z)
 
-        def body(st: _SState) -> _SState:
-            X, U, S = st.X, st.U, st.S
-            Z = mkZ(X, U, S)
+        def _sweep(st: _SState):
+            """Full derivative sweep at the iterate — the IPM's dominant
+            phase (round-4 trace: ~76% of the 32 ms iteration wall at
+            B=16384)."""
+            X, U = st.X, st.U
+            qv = None
             if fast_cf:
                 E, ival, Cz, hval = v_stage(
                     X[:N], U, ks, p, st.lam, st.nus, st.mu_h)
-                dval, A, B, _qv, gq_u, Hq_u = s.stage_cf(X[:N], U, p)
+                dval, A, B, qv, gq_u, Hq_u = s.stage_cf(X[:N], U, p)
                 H = p["_sf"] * Hq_u
                 gc = p["_sf"] * gq_u
             elif fast_sweep:
@@ -1336,6 +1339,30 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             else:
                 H, gc, A, B, E, ival, Cz, hval, dval = v_stage(
                     X[:N], U, ks, p, st.lam, st.nus, st.mu_h)
+            return H, gc, A, B, E, ival, Cz, hval, dval, qv
+
+        def _vals(st: _SState):
+            """Primal values + cost gradients ONLY (no Jacobian/Hessian
+            tangents) — the cheap re-evaluation for stale-derivative
+            iterations (opts.sweep_every > 1): one dynamics pass plus one
+            reverse cost pass instead of the nxa+nu-tangent jacfwd."""
+            def one(xa, u, k):
+                z = jnp.concatenate([xa, u])
+                gc_k = jax.grad(
+                    lambda zz: p["_sf"] * s.cost(zz[:nxa], zz[nxa:], k, p))(z)
+                dval_k = s.dyn(xa, u, k, p)
+                ival_k = (s.ineq(xa, u, k, p) if ni
+                          else jnp.zeros(0, dtype=z.dtype))
+                hval_k = (s.eq(xa, u, k, p) if eqcons
+                          else jnp.zeros(0, dtype=z.dtype))
+                return gc_k, ival_k, hval_k, dval_k
+
+            return jax.vmap(one)(st.X[:N], st.U, ks)
+
+        def ipm_step(st: _SState, H, gc, A, B, E, ival, Cz, hval,
+                     dval, qv=None) -> _SState:
+            X, U, S = st.X, st.U, st.S
+            Z = mkZ(X, U, S)
             # residuals at the iterate, assembled from the sweep's primal
             # values (dval/ival/hval are the dynamics/inequality/equality
             # evaluations jacfwd already produced — no second rollout)
@@ -1790,10 +1817,11 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 lam_inf = jnp.maximum(lam_inf,
                                       jnp.max(jnp.abs(mu_h_new), initial=0.0))
             nu_pen = jnp.maximum(1.5 * lam_inf + 1e-4, 0.5 * st.nu_pen)
-            if fast_cf:
+            if fast_cf and qv is not None:
                 # the ContForm sweep already integrated the stage quadrature
                 # at the current point — no second cost rollout for psi0
-                cost0 = p["_sf"] * jnp.sum(_qv) + _cost_N(X[N], p)
+                # (stale-sweep sub-steps pass qv=None and re-roll the cost)
+                cost0 = p["_sf"] * jnp.sum(qv) + _cost_N(X[N], p)
             else:
                 cost0 = total_cost(X, U)
             phi0 = barrier_phi(Z, mu, cost0)
@@ -1948,6 +1976,26 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 lambda a, b: jnp.where(done_now, a, b), stay, new)
             return jax.tree_util.tree_map(
                 lambda o, nn: jnp.where(st.done, o, nn), st, cand)
+
+        def body(st: _SState) -> _SState:
+            sw = _sweep(st)
+            st1 = ipm_step(st, *sw)
+            # stale-derivative iterations (opts.sweep_every = K > 1):
+            # after each freshly-linearized step, take K-1 modified-Newton
+            # steps reusing the SAME H/A/B/E/Cz with re-evaluated primal
+            # values and cost gradients.  A plain `lax.cond` on the
+            # iteration parity cannot express this under vmap (a batched
+            # predicate executes both branches), so the loop body itself
+            # runs K steps per `while` trip; converged lanes no-op through
+            # the extras via the same done-gating as always, and the
+            # iteration cap is re-applied between sub-steps.
+            H, _, A, B, E, _, Cz, _, _, _ = sw
+            for _ in range(max(int(opts.sweep_every), 1) - 1):
+                gc2, ival2, hval2, dval2 = _vals(st1)
+                st2 = ipm_step(st1, H, gc2, A, B, E, ival2, Cz, hval2, dval2)
+                st1 = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(st1.it >= it_cap, a, b), st1, st2)
+            return st1
 
         # max_iter may be overridden per CALL (traced or python scalar):
         # callers that jit `solve` with the override as a non-static
