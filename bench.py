@@ -182,11 +182,16 @@ def main():
     # arg shapes, jax version/platform, and the library source hash —
     # edits invalidate artifacts instead of serving stale behavior.
     AOT = os.environ.get("BENCH_AOT", "1") == "1"
-    _aot_key = "bench|" + "|".join(
-        f"{k}={os.environ.get(k, '')}" for k in (
-            "BENCH_N", "BENCH_MAXIT", "BENCH_RESCUE_MAXIT", "BENCH_MU",
-            "BENCH_TOL", "BENCH_MU_INIT", "BENCH_HESS", "BENCH_LS",
-            "BENCH_PAR", "BENCH_SWEEP_EVERY"))
+    # content-hash key (utils.aot.content_hash): every knob that shapes
+    # the computation reaches the hash through the config/options values
+    # themselves, so no env-var string list can go stale (round-4
+    # VERDICT item 3)
+    from mpc_code_tpu.utils.aot import content_hash
+
+    _aot_key = "bench|" + content_hash(
+        cfg, mk_opts(MAXIT_R, MU1), mk_opts(MAXIT_R, "monotone"), par_scan,
+        os.environ.get("MPC_TPU_FAST_SWEEP", ""),
+        os.environ.get("MPC_TPU_SWEEP_IMPL", ""))
 
     def _shaped(nl):
         return (jax.ShapeDtypeStruct((nl, nx), jnp.float32),

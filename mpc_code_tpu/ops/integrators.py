@@ -131,8 +131,49 @@ def _tangent_basis(nx, nu, L, dtype):
     return tx, tu
 
 
-def rk4_stage_jac(f: Callable, Mx: int):
+def _sweep_impl() -> str:
+    """Batched-sweep implementation policy (trace-time).
+
+    MPC_TPU_SWEEP_IMPL: 'pallas' | 'lanes' | 'auto' (default).  'auto'
+    prefers the fused Pallas kernel on TPU/f32 (round-5 chip trace: the
+    kernel runs the whole Mx-substep value+tangent sweep in ~2 ms at
+    B*N = 819200 vs ~18.5 ms for the batch-major jacfwd loop and ~2x
+    that for the lanes-minor XLA layout) and falls back to the
+    lanes-minor XLA rule elsewhere (CPU/f64 — the small-batch
+    closed-loop win of rounds 3-4).
+    """
+    return os.environ.get("MPC_TPU_SWEEP_IMPL", "auto")
+
+
+def _compose_clip(f: Callable, clip_lo, clip_hi) -> Callable:
+    """Saturation guard for the XLA sweep paths: clip the ODE input state
+    (per-dim bounds broadcast across the optional lanes axis)."""
+    if clip_lo is None and clip_hi is None:
+        return f
+    import numpy as _np
+
+    _lo = (jnp.asarray(_np.asarray(clip_lo, float))
+           if clip_lo is not None else -jnp.inf)
+    _hi = (jnp.asarray(_np.asarray(clip_hi, float))
+           if clip_hi is not None else jnp.inf)
+
+    def fc(xx, tt, uu, dd, pp):
+        lo = _lo[:, None] if (jnp.ndim(_lo) and jnp.ndim(xx) == 2) else _lo
+        hi = _hi[:, None] if (jnp.ndim(_hi) and jnp.ndim(xx) == 2) else _hi
+        return f(jnp.clip(xx, lo, hi), tt, uu, dd, pp)
+
+    return fc
+
+
+def rk4_stage_jac(f: Callable, Mx: int, clip_lo=None, clip_hi=None):
     """Stage-sweep RK4 rollout WITH first-order Jacobians, batch-friendly.
+
+    ``f`` is the RAW reordered model ODE ``f(x, t, u, d, px)``;
+    ``clip_lo/clip_hi`` optionally saturate the ODE input state
+    (ContinuousModel's stability guard).  Passing the guard separately —
+    instead of pre-composing it into ``f`` — lets the fused Pallas sweep
+    apply it from scalar literals (Mosaic rejects the array-const
+    broadcast form); the XLA paths compose it via `_compose_clip`.
 
     Returns ``F(xs, us, pxs, t, h, d) -> (xf (N,nx), Jx (N,nx,nx),
     Ju (N,nx,nu))`` for ``x' = f(x, t, u, d, px)`` integrated over one
@@ -162,11 +203,14 @@ def rk4_stage_jac(f: Callable, Mx: int):
     """
     from jax.custom_batching import custom_vmap
 
+    fc = _compose_clip(f, clip_lo, clip_hi)
+    _pallas_sweep = []  # built lazily on first batched TPU/f32 trace
+
     def _substep(xv, uv, tv, dt, d, px):
-        k1 = f(xv, tv, uv, d, px)
-        k2 = f(xv + dt / 2 * k1, tv + dt / 2, uv, d, px)
-        k3 = f(xv + dt / 2 * k2, tv + dt / 2, uv, d, px)
-        k4 = f(xv + dt * k3, tv + dt, uv, d, px)
+        k1 = fc(xv, tv, uv, d, px)
+        k2 = fc(xv + dt / 2 * k1, tv + dt / 2, uv, d, px)
+        k3 = fc(xv + dt / 2 * k2, tv + dt / 2, uv, d, px)
+        k4 = fc(xv + dt * k3, tv + dt, uv, d, px)
         return xv + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
 
     def _one_jac(x, u, px, t, h, d):
@@ -194,6 +238,23 @@ def rk4_stage_jac(f: Callable, Mx: int):
     def _rule(axis_size, in_batched, xs, us, pxs, t, h, d):
         xs, us, pxs, t, h, d = _bcast_unbatched(
             axis_size, in_batched, [xs, us, pxs, t, h, d])
+
+        impl = _sweep_impl()
+        if impl in ("auto", "pallas"):
+            from mpc_code_tpu.ops.sweep_pallas import (
+                pallas_sweep_available, rk4_stage_jac_pallas,
+            )
+
+            if pallas_sweep_available(xs.dtype):
+                if not _pallas_sweep:
+                    _pallas_sweep.append(rk4_stage_jac_pallas(
+                        f, Mx, clip_lo=clip_lo, clip_hi=clip_hi))
+                t_b = jnp.broadcast_to(jnp.asarray(t, xs.dtype).reshape(-1),
+                                       (xs.shape[0],))
+                h_b = jnp.broadcast_to(jnp.asarray(h, xs.dtype).reshape(-1),
+                                       (xs.shape[0],))
+                return _pallas_sweep[0](xs, us, pxs, t_b, h_b, d), (True,) * 3
+
         Bsz, N, nx = xs.shape
         nu = us.shape[-1]
         L = Bsz * N
@@ -256,10 +317,26 @@ def map_stage_jac(f: Callable):
         return jax.vmap(_one_jac, in_axes=(0, 0, 0, None, None))(
             xs, us, pxs, t, d)
 
+    _pallas_sweep = []
+
     @stage_jac.def_vmap
     def _rule(axis_size, in_batched, xs, us, pxs, t, d):
         xs, us, pxs, t, d = _bcast_unbatched(
             axis_size, in_batched, [xs, us, pxs, t, d])
+
+        impl = _sweep_impl()
+        if impl in ("auto", "pallas"):
+            from mpc_code_tpu.ops.sweep_pallas import (
+                map_stage_jac_pallas, pallas_sweep_available,
+            )
+
+            if pallas_sweep_available(xs.dtype):
+                if not _pallas_sweep:
+                    _pallas_sweep.append(map_stage_jac_pallas(f))
+                t_b = jnp.broadcast_to(jnp.asarray(t, xs.dtype).reshape(-1),
+                                       (xs.shape[0],))
+                return _pallas_sweep[0](xs, us, pxs, t_b, d), (True,) * 3
+
         Bsz, N, nx = xs.shape
         nu = us.shape[-1]
         L = Bsz * N

@@ -1,0 +1,380 @@
+"""Fused Pallas TPU kernel for the RK4 stage-derivative sweep.
+
+The IPM's per-iteration wall at bench batches is dominated by the dynamics
+value+Jacobian sweep: jacfwd of the Mx-substep RK4 rollout over all (B, N)
+scenario-stage points.  Round-5 xprof (B=16384, N=50, CSTR): 18.5 ms of the
+32 ms iteration is the tangent `while` loop, and its cost is almost
+entirely LAYOUT, not FLOPs — per-component accesses (``x[0]``-style) on
+``(16384, 50, 5, 3)``-shaped tangent arrays lower to hundreds of strided
+``slice``/``copy`` ops that round-trip HBM between every substep
+(~4 GFLOP of useful work stretched over 18.5 ms ≈ 5% of VPU peak).
+
+This kernel removes the layout problem at the root:
+
+- the flattened scenario-stage axis L = B*N is packed DENSE onto
+  ``(rows, 128)`` tiles — each input is ``(planes, R, 128)`` with one plane
+  per state/input/param component, so ``x[0]`` inside the user ODE is a
+  free VMEM row access, never a strided HBM slice;
+- the whole Mx-substep loop runs inside ONE kernel invocation per block:
+  the primal state and the (nx+nu)-direction tangent block stay in
+  VMEM/registers across substeps (HBM traffic per iteration drops from
+  ~GBs of intermediates to the ~80 MB of kernel inputs+outputs);
+- tangents are propagated by replaying the ``jax.linearize`` of one
+  substep per direction (exactly jacfwd's math, same f32 arithmetic);
+- the program is SMALL: one substep body (primal + nz linear replays)
+  under a ``fori_loop`` over Mx — unlike the round-3 whole-stage-jaxpr
+  kernel (`solver/sweep_kernel.py`), Mosaic compiles this in seconds.
+
+Semantics are identical to `ops.integrators.rk4_stage_jac`'s batched rule:
+``F(xs, us, pxs, t, h, d) -> (xf, Jx, Ju)`` for ``x' = f(x, t, u, d, px)``
+integrated over one sampling interval per stage (reference hot-path analog:
+the CasADi `simpleRK` derivative evaluations inside every IPOPT iteration,
+Utilities.py:168 / Control_Calc.py:258).
+
+The discrete-map variant (`map_stage_jac_pallas`) fuses the single-map
+jacfwd the same way (user maps with internal hand-rolled integrators, e.g.
+the quadruple tank, hit the identical layout pathology).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_LANES = 128
+
+
+def _block_rows() -> int:
+    """Rows of 128 lanes per kernel program (multiple of 8 for f32 tiles)."""
+    return int(os.environ.get("MPC_TPU_SWEEP_PALLAS_ROWS", "32"))
+
+
+def _interpret() -> bool:
+    return os.environ.get("MPC_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+def pallas_sweep_available(dtype) -> bool:
+    """The kernel serves TPU/f32 (interpret mode for CPU tests)."""
+    if _interpret():
+        return True
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend probe
+        on_tpu = False
+    return on_tpu and jnp.dtype(dtype) == jnp.float32
+
+
+def _pack_planes(a, L, TL):
+    """Per-stage data (B, N, dim) -> (dim, R, 128) lanes-dense planes."""
+    dim = a.shape[-1]
+    flat = jnp.moveaxis(a.reshape(L, dim), 0, -1)          # (dim, L)
+    flat = jnp.pad(flat, ((0, 0), (0, TL - L)))
+    return flat.reshape(dim, TL // _LANES, _LANES)
+
+
+def _pack_shared(a, N, L, TL):
+    """Per-scenario data (B, dim) -> (dim, R, 128) repeated across stages."""
+    dim = a.shape[-1]
+    rep = jnp.repeat(jnp.moveaxis(a, 0, -1), N, axis=-1)   # (dim, L)
+    rep = jnp.pad(rep, ((0, 0), (0, TL - L)))
+    return rep.reshape(dim, TL // _LANES, _LANES)
+
+
+def _unpack(planes, Bsz, N, L):
+    """(dim, R, 128) -> (B, N, dim)."""
+    dim = planes.shape[0]
+    flat = planes.reshape(dim, -1)[:, :L]
+    return jnp.moveaxis(flat, 0, -1).reshape(Bsz, N, dim)
+
+
+def _choose_br(R: int) -> int:
+    BR = min(_block_rows(), R)
+    while R % BR:
+        BR //= 2
+    return max(BR, 1)
+
+
+def _call_kernel(kernel_body, inputs, consts2d, BR, out_planes, dtype,
+                 interpret):
+    """Grid the (planes, R, 128) inputs into (planes, BR, 128) blocks;
+    2-D hoisted constants ride along replicated to every program."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = inputs[0].shape[1]
+
+    def bs(planes):
+        return pl.BlockSpec((planes, BR, _LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def bs_const(shape2d):
+        return pl.BlockSpec(shape2d, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((p, R, _LANES), dtype) for p in out_planes)
+    return pl.pallas_call(
+        kernel_body,
+        grid=(R // BR,),
+        out_shape=out_shape,
+        in_specs=([bs(a.shape[0]) for a in inputs]
+                  + [bs_const(tuple(c.shape)) for c in consts2d]),
+        out_specs=tuple(bs(p) for p in out_planes),
+        interpret=interpret,
+    )(*inputs, *consts2d)
+
+
+def _tangent_inits(nx, nu, shape2, dtype):
+    """One-hot (x, u) tangent blocks for the nz = nx+nu directions.
+
+    Returns (M0, EU) as LISTS of per-direction arrays — M0[i] (nx,
+    *shape2), EU[i] (nu, *shape2) — built from 0/1 splat literals.
+    Mosaic neither accepts captured array constants nor (this toolchain)
+    4-D vectors with unit minor dims, so the tangent block stays a tuple
+    of plain 3-D tiles throughout the kernel.
+    """
+
+    def basis(rows, hot):
+        return jnp.concatenate(
+            [(jnp.ones if r == hot else jnp.zeros)((1,) + shape2, dtype)
+             for r in range(rows)], axis=0)
+
+    nz = nx + nu
+    M0 = [basis(nx, i) for i in range(nz)]
+    EU = [basis(nu, i - nx) for i in range(nz)]
+    return M0, EU
+
+
+def _hoist_consts(f, example_args, dtype):
+    """Trace ``f`` to a jaxpr and hoist its captured arrays (clip bounds,
+    model matrices, ...) into explicit arguments — a Pallas kernel body
+    cannot close over array constants (``jax.closure_convert`` does not
+    help: it only extracts tracer constants, concrete arrays stay baked
+    into the jaxpr).
+
+    Returns (f_pure, consts2d, const_shapes): call
+    ``f_pure(*args, *consts)`` with each const reshaped back from its 2-D
+    kernel-input form via ``const_shapes``.
+    """
+    from jax._src.core import eval_jaxpr
+
+    closed = jax.make_jaxpr(lambda *a: f(*a))(*example_args)
+    jaxpr = closed.jaxpr
+    n_args = len(jaxpr.invars)
+
+    def f_pure(*args_and_consts):
+        args = args_and_consts[:n_args]
+        cs = args_and_consts[n_args:]
+        outs = eval_jaxpr(jaxpr, cs, *args)
+        return outs[0] if len(outs) == 1 else tuple(outs)
+
+    consts2d, shapes = [], []
+    for c, cv in zip(closed.consts, jaxpr.constvars):
+        c = jnp.asarray(c, dtype=cv.aval.dtype)
+        shapes.append((c.shape, c.dtype))
+        c2 = c.reshape((1, 1) if c.ndim == 0
+                       else (1, c.shape[0]) if c.ndim == 1
+                       else (int(np.prod(c.shape[:-1], dtype=int)),
+                             c.shape[-1]))
+        consts2d.append(c2)
+    return f_pure, consts2d, shapes
+
+
+def _make_clip(clip_lo, clip_hi, nx):
+    """Per-component clip with SCALAR literal bounds.
+
+    The saturation guard (`ContinuousModel.clip_lo/hi`) must not enter the
+    kernel as an (nx,) array: its ``[:, None, None]`` broadcast lowers to a
+    ``(1,3)->(3,1,1)`` vector reshape Mosaic rejects.  Python-float bounds
+    become Mosaic splat literals; the concat of 1-row slices keeps every op
+    on native 2-D tiles.
+    """
+    if clip_lo is None and clip_hi is None:
+        return None
+    lo = [None] * nx if clip_lo is None else [float(v) for v in
+                                              np.asarray(clip_lo)]
+    hi = [None] * nx if clip_hi is None else [float(v) for v in
+                                              np.asarray(clip_hi)]
+
+    def clip(xx):
+        rows = []
+        for i in range(nx):
+            r = xx[i:i + 1]
+            if lo[i] is not None and np.isfinite(lo[i]):
+                r = jnp.maximum(r, lo[i])
+            if hi[i] is not None and np.isfinite(hi[i]):
+                r = jnp.minimum(r, hi[i])
+            rows.append(r)
+        return jnp.concatenate(rows, axis=0)
+
+    return clip
+
+
+def rk4_stage_jac_pallas(f: Callable, Mx: int, clip_lo=None, clip_hi=None):
+    """Batched fused sweep: ``F(xs, us, pxs, t, h, d) -> (xf, Jx, Ju)``.
+
+    xs (B, N, nx), us (B, N, nu), pxs (B, N, npx), t (B,), h (B,),
+    d (B, nd); identical per-lane semantics to ``vmap(vmap(jacfwd))`` of
+    the Mx-substep RK4 rollout (`ops.integrators.rk4_stage_jac`).  ``f``
+    here is the RAW model ODE ``f(x, t, u, d, px)``; the optional
+    saturation guard is applied in-kernel from scalar literals (see
+    `_make_clip`), NOT pre-composed into ``f``.
+    """
+
+    def sweep(xs, us, pxs, t, h, d):
+        dtype = xs.dtype
+        Bsz, N, nx = xs.shape
+        nu = us.shape[-1]
+        npx = pxs.shape[-1]
+        nd = d.shape[-1]
+        nz = nx + nu
+        L = Bsz * N
+        tile = _block_rows() * _LANES
+        TL = -(-L // tile) * tile
+
+        R = TL // _LANES
+        BR = _choose_br(R)
+        blk = (BR, _LANES)
+
+        xT = _pack_planes(xs, L, TL)
+        uT = _pack_planes(us, L, TL)
+        tT = _pack_shared(t[:, None], N, L, TL)
+        hT = _pack_shared(h[:, None], N, L, TL)
+        inputs = [xT, uT, tT, hT]
+        # zero-size leaves never enter the kernel (Mosaic rejects them);
+        # they are reconstructed as empty trace-time values inside
+        if npx:
+            inputs.append(_pack_planes(pxs, L, TL))
+        if nd:
+            inputs.append(_pack_shared(d, N, L, TL))
+
+        # the user ODE's captured arrays (clip bounds, model matrices)
+        # become explicit kernel inputs — kernels cannot close over them
+        f_pure, consts2d, const_shapes = _hoist_consts(
+            lambda xx, tt, uu, dd, pp: f(xx, tt, uu, dd, pp),
+            (jax.ShapeDtypeStruct((nx,) + blk, dtype),
+             jax.ShapeDtypeStruct(blk, dtype),
+             jax.ShapeDtypeStruct((nu,) + blk, dtype),
+             jax.ShapeDtypeStruct((nd,) + blk, dtype),
+             jax.ShapeDtypeStruct((npx,) + blk, dtype)),
+            dtype)
+
+        def kernel(*refs):
+            it = iter(refs)
+            x0 = next(it)[...]
+            u = next(it)[...]
+            tv = next(it)[...][0]
+            hv = next(it)[...][0]
+            px = next(it)[...] if npx else jnp.zeros((0,) + blk, dtype)
+            dd = next(it)[...] if nd else jnp.zeros((0,) + blk, dtype)
+            cs = [next(it)[...].reshape(s).astype(dt)
+                  for (s, dt) in const_shapes]
+            xf_ref = next(it)
+            j_ref = next(it)
+            dt_ = hv / Mx
+            clip = _make_clip(clip_lo, clip_hi, nx)
+
+            def fv(xx, tt, uu):
+                if clip is not None:
+                    xx = clip(xx)
+                return f_pure(xx, tt, uu, dd, px, *cs)
+
+            def substep(xx, uu, tt):
+                k1 = fv(xx, tt, uu)
+                k2 = fv(xx + dt_ / 2 * k1, tt + dt_ / 2, uu)
+                k3 = fv(xx + dt_ / 2 * k2, tt + dt_ / 2, uu)
+                k4 = fv(xx + dt_ * k3, tt + dt_, uu)
+                return xx + dt_ / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+            M0, EU = _tangent_inits(nx, nu, blk, dtype)
+
+            def body(j, carry):
+                xv, M = carry
+                tt = tv + j.astype(dtype) * dt_
+                xnew, lin = jax.linearize(
+                    lambda xx, uu: substep(xx, uu, tt), xv, u)
+                return xnew, tuple(lin(M[i], EU[i]) for i in range(nz))
+
+            xv, M = jax.lax.fori_loop(0, Mx, body, (x0, tuple(M0)))
+            xf_ref[...] = xv
+            # planes ordered [direction i][component c] -> row i*nx + c
+            for i in range(nz):
+                j_ref[i * nx:(i + 1) * nx] = M[i]
+
+        outs = _call_kernel(kernel, inputs, consts2d, BR, (nx, nz * nx),
+                            dtype, _interpret())
+        xf = _unpack(outs[0], Bsz, N, L)
+        Jt = _unpack(outs[1], Bsz, N, L).reshape(Bsz, N, nz, nx)
+        J = jnp.swapaxes(Jt, -1, -2)                       # (B, N, nx, nz)
+        return xf, J[..., :nx], J[..., nx:]
+
+    return sweep
+
+
+def map_stage_jac_pallas(f: Callable):
+    """Discrete-map analog: ``F(xs, us, pxs, t, d) -> (xf, Jx, Ju)`` for
+    ``x_next = f(x, u, d, t, px)`` (NL-discrete form, Utilities.py:186-198),
+    one fused kernel instead of a batch-major jacfwd."""
+
+    def sweep(xs, us, pxs, t, d):
+        dtype = xs.dtype
+        Bsz, N, nx = xs.shape
+        nu = us.shape[-1]
+        npx = pxs.shape[-1]
+        nd = d.shape[-1]
+        nz = nx + nu
+        L = Bsz * N
+        tile = _block_rows() * _LANES
+        TL = -(-L // tile) * tile
+
+        R = TL // _LANES
+        BR = _choose_br(R)
+        blk = (BR, _LANES)
+
+        inputs = [_pack_planes(xs, L, TL), _pack_planes(us, L, TL),
+                  _pack_shared(t[:, None], N, L, TL)]
+        if npx:
+            inputs.append(_pack_planes(pxs, L, TL))
+        if nd:
+            inputs.append(_pack_shared(d, N, L, TL))
+
+        f_pure, consts2d, const_shapes = _hoist_consts(
+            lambda xx, uu, dd, tt, pp: f(xx, uu, dd, tt, pp),
+            (jax.ShapeDtypeStruct((nx,) + blk, dtype),
+             jax.ShapeDtypeStruct((nu,) + blk, dtype),
+             jax.ShapeDtypeStruct((nd,) + blk, dtype),
+             jax.ShapeDtypeStruct(blk, dtype),
+             jax.ShapeDtypeStruct((npx,) + blk, dtype)),
+            dtype)
+
+        def kernel(*refs):
+            it = iter(refs)
+            x0 = next(it)[...]
+            u = next(it)[...]
+            tv = next(it)[...][0]
+            px = next(it)[...] if npx else jnp.zeros((0,) + blk, dtype)
+            dd = next(it)[...] if nd else jnp.zeros((0,) + blk, dtype)
+            cs = [next(it)[...].reshape(s).astype(dt)
+                  for (s, dt) in const_shapes]
+            xf_ref = next(it)
+            j_ref = next(it)
+
+            M0, EU = _tangent_inits(nx, nu, blk, dtype)
+            xnew, lin = jax.linearize(
+                lambda xx, uu: f_pure(xx, uu, dd, tv, px, *cs), x0, u)
+            xf_ref[...] = xnew
+            for i in range(nz):
+                j_ref[i * nx:(i + 1) * nx] = lin(M0[i], EU[i])
+
+        outs = _call_kernel(kernel, inputs, consts2d, BR, (nx, nz * nx),
+                            dtype, _interpret())
+        xf = _unpack(outs[0], Bsz, N, L)
+        Jt = _unpack(outs[1], Bsz, N, L).reshape(Bsz, N, nz, nx)
+        J = jnp.swapaxes(Jt, -1, -2)
+        return xf, J[..., :nx], J[..., nx:]
+
+    return sweep

@@ -67,13 +67,17 @@ def make_closed_loop_runner(cfg: MPCConfig, n_steps: int, batch: int,
     behavior, which understated closed-loop throughput ~25x).
 
     ``aot_key``: opt-in persistent artifact cache for the traced scan
-    graph (utils/aot.py) — pass a string that uniquely identifies the
-    CONFIG (the cache key also folds in shapes, platform, jax version,
-    and the library source hash, so collisions require an identical key
-    for a genuinely different MPCConfig).  A warm process then skips
-    tracing entirely: the deployment restart path.  Only the unsharded
-    no-inputs runner supports it (mesh/input shardings are not part of
-    the exported artifact).
+    graph (utils/aot.py).  Pass ``"auto"`` (recommended) to derive the
+    key from a canonical content hash of the config and setpoints
+    (``utils.aot.content_hash``) — two processes building the same
+    MPCConfig share the artifact with no hand-written key, and any
+    one-field change misses.  An explicit string is also accepted and
+    must then uniquely identify the CONFIG (the cache key additionally
+    folds in shapes, platform, jax version, and the library source
+    hash, so artifacts can never silently go stale).  A warm process
+    skips tracing entirely: the deployment restart path.  Only the
+    unsharded no-inputs runner supports it (mesh/input shardings are
+    not part of the exported artifact).
 
     Calls may supply a ``StepInput`` stack (leading ``(n_steps,)`` axis
     from ``make_step_inputs``) as ``runner(x0_batch, inputs)``; under a
@@ -93,7 +97,10 @@ def make_closed_loop_runner(cfg: MPCConfig, n_steps: int, batch: int,
     if aot_key is not None:
         if mesh is not None:
             raise ValueError("aot_key supports the unsharded runner only")
-        from mpc_code_tpu.utils.aot import export_cached
+        from mpc_code_tpu.utils.aot import content_hash, export_cached
+
+        if aot_key == "auto":
+            aot_key = content_hash(cfg, ysp, usp, xsp)
 
         # canonical float (f64 under x64, f32 otherwise) — the template
         # dtypes must match what runner calls will actually pass

@@ -74,30 +74,42 @@ _THETA_MU = 1.5
 
 
 
-def _fast_sweep_on(batch_hint) -> bool:
+def _fast_sweep_on(batch_hint, pallas_ok: bool = True) -> bool:
     """Build-time choice of the derivative-sweep layout.
 
-    The lanes-minor (lane-packed) sweep must be chosen when the OCP is
-    BUILT — wrapping the sweep in a batch-size-aware custom_vmap rule was
-    chip-measured to cripple the big-batch path even when the rule falls
-    back to the plain sweep (the wrapper changes XLA's fusion; 610 vs
-    441 ms/batch at B=16384, round 4 — same cliff as sweep_opt_in's
-    documented 14x).  Chip-measured regime table (TPU v5e): lanes-minor
-    WINS at warm-started small batches (B=1024 closed loop: 880 vs 699
-    steps/s, round 3) and LOSES at the cold big-batch bench (B>=4096) —
-    so with MPC_TPU_FAST_SWEEP unset the caller's ``batch_hint`` decides:
-    lanes-minor iff on TPU and batch_hint <= MPC_TPU_FAST_SWEEP_MAX_B
-    (default 2048).  No hint -> batch-major (the cold-bench default).
-    MPC_TPU_FAST_SWEEP=1/0 force the layout regardless of the hint."""
+    The split sweep (dynamics handled by ``stage_dyn_jac``) must be chosen
+    when the OCP is BUILT — wrapping the sweep in a batch-size-aware
+    custom_vmap rule was chip-measured to cripple the big-batch path even
+    when the rule falls back to the plain sweep (610 vs 441 ms/batch at
+    B=16384, round 4 — same cliff as sweep_opt_in's documented 14x).
+
+    With ``pallas_ok`` (sweeps that have a fused Pallas kernel:
+    `ops/sweep_pallas.py`, round 5) the split path engages on TPU for ALL
+    batch regimes — the kernel runs the whole Mx-substep value+tangent
+    sweep lanes-dense in VMEM (chip xprof: ~2 ms vs ~18.5 ms batch-major
+    at B=16384) — and `ops.integrators._sweep_impl` picks the kernel at
+    trace time.  ``MPC_TPU_SWEEP_IMPL=lanes`` restores the round-4
+    behavior: lanes-minor XLA iff batch_hint <= MPC_TPU_FAST_SWEEP_MAX_B
+    (default 2048; chip-measured crossover — lanes-minor wins warm
+    small-batch closed loops, loses the cold big-batch bench).
+    MPC_TPU_FAST_SWEEP=1/0 force the split sweep on/off regardless."""
     env = os.environ.get("MPC_TPU_FAST_SWEEP")
     if env == "1":
         return True
-    if env == "0" or batch_hint is None:
+    if env == "0":
         return False
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
+    from mpc_code_tpu.ops.integrators import _sweep_impl
+
+    interp = os.environ.get("MPC_TPU_PALLAS_INTERPRET", "0") == "1"
+    if pallas_ok and _sweep_impl() in ("auto", "pallas") and (on_tpu
+                                                             or interp):
+        return True
+    if batch_hint is None:
+        return False
     max_b = int(os.environ.get("MPC_TPU_FAST_SWEEP_MAX_B", "2048"))
     return on_tpu and int(batch_hint) <= max_b
 
@@ -594,23 +606,15 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
         m = cfg.model
         if isinstance(m, ContinuousModel):
             _ufx = m.fx
-            if m.clip_lo is not None or m.clip_hi is not None:
-                _lo = (jnp.asarray(m.clip_lo, dtype=float)
-                       if m.clip_lo is not None else -jnp.inf)
-                _hi = (jnp.asarray(m.clip_hi, dtype=float)
-                       if m.clip_hi is not None else jnp.inf)
 
-                def _ode(xx, tt, uu, dd, pp):
-                    # per-dim clip bounds must broadcast in the lanes-minor
-                    # (nx, L) layout too
-                    lo_b = _lo[:, None] if (jnp.ndim(_lo) and jnp.ndim(xx) == 2) else _lo
-                    hi_b = _hi[:, None] if (jnp.ndim(_hi) and jnp.ndim(xx) == 2) else _hi
-                    return _ufx(jnp.clip(xx, lo_b, hi_b), uu, dd, tt, pp)
-            else:
-                def _ode(xx, tt, uu, dd, pp):
-                    return _ufx(xx, uu, dd, tt, pp)
+            def _ode(xx, tt, uu, dd, pp):
+                return _ufx(xx, uu, dd, tt, pp)
 
-            _sj_cont = rk4_stage_jac(_ode, getattr(m, "Mx", 10))
+            # the saturation guard rides as scalar bounds so the fused
+            # Pallas sweep can apply it from literals; the XLA paths
+            # compose it (integrators._compose_clip)
+            _sj_cont = rk4_stage_jac(_ode, getattr(m, "Mx", 10),
+                                     clip_lo=m.clip_lo, clip_hi=m.clip_hi)
             _sj_disc = None
         else:
             _sj_cont = None
@@ -666,7 +670,8 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
     # rollout).  No augmentation here: ContForm forces du_coupled off, and
     # the shared-slack augmentation keeps the generic path.
     stage_cf = None
-    if cont_form and not slacks and _fast_sweep_on(batch_hint):
+    if cont_form and not slacks and _fast_sweep_on(batch_hint,
+                                                   pallas_ok=False):
         from mpc_code_tpu.ops.integrators import rk4_quad_stage_hess
 
         _sw_cf = rk4_quad_stage_hess(_ode, _quad, Mx_c)
