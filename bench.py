@@ -347,12 +347,25 @@ def main():
         if os.path.exists(tv_path):
             with open(tv_path) as f:
                 tv = json.load(f)
-            if tv.get("B") == B:
+            # staleness guard (round-4 VERDICT): the classification only
+            # applies when THIS run's failing-lane index set matches the
+            # lanes the verdict actually probed — a solver change that
+            # shifts which lanes fail must not wear the old verdict
+            bad_now = sorted(int(i) for i in np.where(status == 2)[0])
+            classified = sorted(int(l["idx"]) for l in tv.get("lanes", []))
+            if tv.get("B") == B and bad_now == classified:
                 report["tail"] = {
                     "n_classified": tv["n_bad"],
                     "physically_infeasible": tv["n_physically_infeasible"],
                     "solver_failure": tv["n_solver_failure"],
                     "source": "fixtures/tail_verdict.json",
+                }
+            elif tv.get("B") == B:
+                report["tail"] = {
+                    "status": "unclassified",
+                    "reason": "failing-lane set changed since the verdict "
+                              "(re-run tools/tail_verdict.py)",
+                    "n_bad": len(bad_now),
                 }
         if best_report is None or report["value"] > best_report["value"]:
             best_report = report

@@ -47,6 +47,67 @@ def test_sharded_equals_unsharded():
     assert np.allclose(np.asarray(out_m.u), np.asarray(out_s.u), atol=1e-10)
 
 
+def _sharded_vs_unsharded(cfg, n_steps, B=8, atol=1e-10, x0=None,
+                          jitter=0.02):
+    """Run the FULL traced closed loop (schedules + noise + estimator +
+    adaptation, `make_step_inputs`) for a batch of scenarios, sharded over
+    the 8-device mesh and unsharded, and compare trajectories.
+
+    Round-4 VERDICT item 3: the sharded pins previously covered only the
+    linear-KF toy config; these run the flagship estimator-rich families.
+    """
+    from mpc_code_tpu.loop.schedules import make_step_inputs
+    from mpc_code_tpu.parallel import make_closed_loop_runner
+
+    x0 = np.asarray(cfg.x0_p, float) if x0 is None else np.asarray(x0, float)
+    x0s = np.tile(x0, (B, 1)) * (1.0 + jitter * np.linspace(0, 1, B)[:, None])
+    inputs = make_step_inputs(cfg, n_steps)
+    out = {}
+    for mesh in (make_mesh(8), None):
+        runner = make_closed_loop_runner(cfg, n_steps, B, mesh=mesh)
+        carry, o = runner(x0s, inputs)
+        if mesh is not None:
+            assert len(carry.x.sharding.device_set) == 8
+        out[mesh is None] = o
+    assert (np.asarray(out[True].status_dyn) != 2).all()
+    for field in ("u", "status_dyn", "xhat", "dhat"):
+        a = np.asarray(getattr(out[True], field))
+        b = np.asarray(getattr(out[False], field))
+        assert np.allclose(a, b, atol=atol), field
+    return out[True]
+
+
+def test_sharded_nmpc_structured():
+    # nonlinear CSTR NMPC: EKF + structured Riccati solver + noise stream
+    from mpc_code_tpu.examples.nmpc import make_config
+
+    cfg = make_config(Nsim=3).replace(N=6)
+    _sharded_vs_unsharded(cfg, 3, jitter=0.01)
+
+
+def test_sharded_mhe_smooth():
+    # ENMPC flagship: smooth MHE (traced growing-horizon warmup) +
+    # economic ContForm OCP, sharded over the mesh
+    import dataclasses as dc
+
+    from mpc_code_tpu.examples.enmpc import make_config
+
+    cfg = make_config(Nsim=3).replace(N=6)
+    cfg = cfg.replace(estimator=dc.replace(cfg.estimator, N_mhe=3))
+    _sharded_vs_unsharded(cfg, 3, B=8, x0=cfg.x0_p, jitter=0.01)
+
+
+def test_sharded_adaptation():
+    # modifier adaptation (ssp solve + IFT lambda update + ssp2) inside
+    # the sharded traced step
+    import sys as _sys
+    sys_path_dir = __file__
+    from test_adaptation import make_adaptation_config
+
+    cfg = make_adaptation_config(Nsim=3).replace(N=6)
+    _sharded_vs_unsharded(cfg, 3, jitter=0.01)
+
+
 def test_aggregate_metrics_psum():
     # shard_map + psum/pmax metric aggregation over the virtual 8-device
     # mesh matches the host computation (SURVEY.md §2.4 collectives)
