@@ -337,6 +337,23 @@ class SolverOptions:
     # damped), backstopped by the solver's best-KKT-iterate bookkeeping.
     # Structured solver only.
     ls_mode: str = "adaptive"
+    # Cold-start equality-multiplier initialization: 'zero' (IPOPT
+    # default) | 'costate' — seed the defect multipliers lam by the
+    # adjoint (costate) recursion at the warm-start rollout,
+    # lam_{N-1} = grad Vfin(x_N), lam_{k-1} = qx_k + A_k' lam_k — the
+    # stagewise least-squares stationarity solution wrt the state
+    # variables (the standard SQP/IPM multiplier init; IPOPT's
+    # least_square_init_duals analog).  Costs one extra dynamics-Jacobian
+    # sweep before iteration 1; cross-solve warm-started lanes (ws ok)
+    # keep their carried duals.  Structured solver only.
+    # MEASURED NEUTRAL on the bench workload (round 5, CPU f64 64-lane
+    # probe, CSTR N=50 GN): med/p90/mean iterations identical to 'zero'
+    # at tol 1e-3 AND 1e-6 — cold iteration count there is governed by
+    # the monotone mu ladder and primal feasibility, not multiplier
+    # quality (consistent with the round-3/4 mu-ladder/Mehrotra
+    # neutrals).  Kept for exact-Hessian/tight-tolerance workloads where
+    # Lagrangian curvature at iteration 1 matters.
+    dual_init: str = "zero"
     # EXPERIMENTAL: re-linearize every K-th iteration only (K > 1), taking
     # K-1 modified-Newton steps between full derivative sweeps — stale
     # Jacobians/Hessians with freshly re-evaluated primal values and cost

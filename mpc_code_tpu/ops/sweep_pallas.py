@@ -69,26 +69,36 @@ def pallas_sweep_available(dtype) -> bool:
 
 
 def _pack_planes(a, L, TL):
-    """Per-stage data (B, N, dim) -> (dim, R, 128) lanes-dense planes."""
+    """Per-stage data (B, N, dim) -> (dim, R, 128) lanes-dense planes.
+
+    Lane order is STAGE-major (lane = n*B + b): the transpose
+    (B, N, dim) -> (dim, N, B) keeps the batch axis minor — the same
+    minor axis XLA already gives the solver's while-loop carries — so
+    crossing the pallas boundary costs a major-dim shuffle instead of a
+    full re-tiling (round-5 trace: the earlier ``reshape(L, dim)`` form
+    demanded dim-minor layouts and spent ~7 ms/iteration in relayout
+    copies of X/U at B=16384).
+    """
     dim = a.shape[-1]
-    flat = jnp.moveaxis(a.reshape(L, dim), 0, -1)          # (dim, L)
+    flat = jnp.transpose(a, (2, 1, 0)).reshape(dim, L)     # lane = n*B + b
     flat = jnp.pad(flat, ((0, 0), (0, TL - L)))
     return flat.reshape(dim, TL // _LANES, _LANES)
 
 
 def _pack_shared(a, N, L, TL):
-    """Per-scenario data (B, dim) -> (dim, R, 128) repeated across stages."""
+    """Per-scenario data (B, dim) -> (dim, R, 128) repeated across stages
+    (stage-major lane order: whole-batch blocks tile N times)."""
     dim = a.shape[-1]
-    rep = jnp.repeat(jnp.moveaxis(a, 0, -1), N, axis=-1)   # (dim, L)
+    rep = jnp.tile(jnp.moveaxis(a, 0, -1), (1, N))         # (dim, N*B)
     rep = jnp.pad(rep, ((0, 0), (0, TL - L)))
     return rep.reshape(dim, TL // _LANES, _LANES)
 
 
 def _unpack(planes, Bsz, N, L):
-    """(dim, R, 128) -> (B, N, dim)."""
+    """(dim, R, 128) -> (B, N, dim) (stage-major lane order)."""
     dim = planes.shape[0]
     flat = planes.reshape(dim, -1)[:, :L]
-    return jnp.moveaxis(flat, 0, -1).reshape(Bsz, N, dim)
+    return jnp.transpose(flat.reshape(dim, N, Bsz), (2, 1, 0))
 
 
 def _choose_br(R: int) -> int:

@@ -1240,6 +1240,38 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
         zl0, zu0 = dual_init(mkZ(X_init, U_init, S_init), lbz, ubz, hlz, huz)
         lam0 = jnp.zeros((N, nxa), dtype=dtype)
         nus0 = jnp.zeros((N, ni), dtype=dtype)
+        if opts.dual_init == "costate":
+            # adjoint recursion at the warm-start rollout: the stagewise
+            # least-squares stationarity solution for the defect
+            # multipliers (lam_k = qx_{k+1} + A_{k+1}' lam_{k+1},
+            # lam_{N-1} = grad Vfin); reuses g0/gN0 from the objective
+            # scaling probe, costs one dynamics-Jacobian sweep
+            if s.stage_dyn_jac is not None:
+                _, A_i, _ = s.stage_dyn_jac(X_init[:N], U_init, p)
+            else:
+                def _dj(xa, u, k):
+                    J = jax.jacfwd(
+                        lambda z: s.dyn(z[:nxa], z[nxa:], k, p))(
+                            jnp.concatenate([xa, u]))
+                    return J[:, :nxa]
+
+                A_i = jax.vmap(_dj)(X_init[:N], U_init, ks)
+            qx = (sf * g0[:, :nxa]).astype(dtype)
+            lamN = (sf * gN0[:nxa]).astype(dtype)
+
+            def _bwd(lam_next, inp):
+                qx_k1, A_k1 = inp
+                lam_k = qx_k1 + A_k1.T @ lam_next
+                return lam_k, lam_k
+
+            _, lam_head = lax.scan(_bwd, lamN, (qx[1:], A_i[1:]),
+                                   reverse=True)
+            lam_ls = jnp.concatenate([lam_head, lamN[None]], axis=0)
+            lam_ls = jnp.nan_to_num(lam_ls, nan=0.0, posinf=0.0,
+                                    neginf=0.0)
+            # IPOPT-style safeguard: an exploding LS solution (ignited
+            # rollout) is worse than the zero init — drop it wholesale
+            lam0 = jnp.where(jnp.max(jnp.abs(lam_ls)) < 1e4, lam_ls, lam0)
         if ws is not None:
             # cross-solve dual/barrier warm start (closed-loop regime).
             # Carried duals are in the PREVIOUS solve's objective scaling;

@@ -572,6 +572,51 @@ def _check_fast_vs_generic(cfg, name, x0s, xs, us, N, d):
                   - np.asarray(res[False].U)).max() < 1e-10, name
 
 
+def test_costate_dual_init_same_optimum():
+    # dual_init='costate' (adjoint-recursion multiplier seed) must reach
+    # the same KKT point as the zero init; measured NEUTRAL on iteration
+    # counts at the bench workload (see SolverOptions.dual_init), kept
+    # for exact-Hessian/tight-tolerance regimes
+    import dataclasses as dc
+
+    from mpc_code_tpu.examples.nmpc import make_config
+
+    N = 10
+    cfg = make_config().replace(N=N, R_wn=None)
+    cfg = cfg.replace(model=dc.replace(
+        cfg.model, Mx=4,
+        clip_lo=np.array([0.0, 280.0, 0.4]),
+        clip_hi=np.array([2.0, 420.0, 1.0])))
+    model = build_model(cfg)
+    socp = build_structured_ocp(cfg, model, build_stage_cost(cfg.stage_cost),
+                                build_terminal_cost(cfg))
+    xs = np.array([0.874317, 325.0, 0.6528])
+    us = np.array([300.157, 0.1])
+    rng = np.random.default_rng(11)
+    x0s = jnp.asarray(rng.uniform([0.4, 320, 0.56], [0.9, 334, 0.67],
+                                  size=(4, 3)))
+    res = {}
+    for di in ("zero", "costate"):
+        solve = make_structured_solver(
+            socp, SolverOptions(max_iter=60, tol=1e-8,
+                                hessian="gauss_newton", dual_init=di))
+
+        def lane(x0):
+            par = dict(x0=x0, xs=jnp.asarray(xs), us=jnp.asarray(us),
+                       d=jnp.asarray([0.0, 0.1]), um1=jnp.asarray(us),
+                       t=jnp.asarray(0.0), lam=jnp.zeros((cfg.ny, cfg.nu)),
+                       px=jnp.zeros((N, cfg.npx)),
+                       py=jnp.zeros((N, cfg.npy)))
+            X0 = jnp.tile(x0[None], (N + 1, 1))
+            U0 = jnp.tile(jnp.asarray(us), (N, 1))
+            return solve(par, X0, U0)
+
+        res[di] = jax.jit(jax.vmap(lane))(x0s)
+    assert (np.asarray(res["costate"].status) != 2).all()
+    assert np.abs(np.asarray(res["costate"].U)
+                  - np.asarray(res["zero"].U)).max() < 1e-6
+
+
 def test_parallel_line_search_bit_identical():
     """SolverOptions.ls_parallel evaluates all backtracking trials in one
     vectorized pass; the selected step (first acceptable alpha) and hence

@@ -64,7 +64,8 @@ def main():
             hessian=os.environ.get("BENCH_HESS", "gauss_newton"),
             mu_strategy=mu or os.environ.get("BENCH_MU", "monotone"),
             ls_parallel=os.environ.get("BENCH_LS", "seq") == "par",
-            ls_mode=ls_mode)
+            ls_mode=ls_mode,
+            dual_init=os.environ.get("BENCH_DUAL_INIT", "zero"))
 
     def set_sweep_env(sweep):
         if sweep in (None, "auto"):

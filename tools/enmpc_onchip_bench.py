@@ -123,6 +123,17 @@ def main():
     np.asarray(carry_out.x)
     run_s = time.time() - t0
 
+    trace_dir = os.environ.get("ENMPC_TRACE")
+    if trace_dir:
+        # xprof capture of one full run (parse with
+        # tools/trace_solve.py --parse <dir>) — round-5 VERDICT item 2:
+        # name the ENMPC step's hot phases instead of suspecting them
+        carryB3 = carryB._replace(x=carryB.x + jnp.float32(2e-4))
+        with jax.profiler.trace(trace_dir):
+            carry_t, _ = run(carryB3, inputs)
+            np.asarray(carry_t.x)
+        print(f"# trace -> {trace_dir}", file=sys.stderr)
+
     st_dyn = np.asarray(outs.status_dyn)
     lane_steps = B * n_steps
     mode = "warm-handoff steady-state" if warm_handoff else "from step 0 (traced warmup)"
