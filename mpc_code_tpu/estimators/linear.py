@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from mpc_code_tpu.config import MPCConfig
 from mpc_code_tpu.models.model import ModelFns
 from mpc_code_tpu.ops.dare import dare_gain
+from mpc_code_tpu.ops.smalllin import solve_lu as _ssolve
 
 
 class AugmentedModel(NamedTuple):
@@ -64,7 +65,7 @@ def kalman(aug: AugmentedModel, h: float, y_k, u_k, Q, R, P_min, xhat_min, t_k, 
     C = jax.jacfwd(aug.fy)(xhat_min, u_k, t_k, p_y)
     yhat = aug.fy(xhat_min, u_k, t_k, p_y)
     S = C @ P_min @ C.T + R
-    K = jnp.linalg.solve(S.T, (P_min @ C.T).T).T
+    K = _ssolve(S.T, (P_min @ C.T).T).T
     P_corr = (jnp.eye(A.shape[0], dtype=P_min.dtype) - K @ C) @ P_min
     xhat_corr = xhat_min + K @ (y_k - yhat)
     P_plus = A @ P_corr @ A.T + Q

@@ -29,6 +29,7 @@ from mpc_code_tpu.models.costs import build_mhe_cost
 from mpc_code_tpu.models.model import ModelFns, build_mhe_model
 from mpc_code_tpu.ocp.mhe import build_mhe_nlp
 from mpc_code_tpu.solver.ipm import make_solver
+from mpc_code_tpu.ops.smalllin import inv as _sinv
 
 
 class MHERuntime:
@@ -563,7 +564,7 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
         zdt = c.x_bar.dtype
         par = dict(
             U=Um, Y=Y_n.reshape(N, p), x_bar=c.x_bar,
-            P_inv=jnp.linalg.inv(c.P), T=T_n, mask=mask,
+            P_inv=_sinv(c.P), T=T_n, mask=mask,
             PX=PXm, PY=PY_n.reshape(N, npy),
             Pycondx_inv=(c.sm.Pycondx_inv if smooth
                          else jnp.zeros((pidx, pidx), dtype=zdt)),
@@ -608,12 +609,12 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
             # the warmup (window not yet full) the prior passes through
             # unchanged, same as the reference's ksim >= N_mhe-1 guard
             Hd0 = hess_wv(jnp.concatenate([W_n[:n_w], V_n[:p]]), T_n[0])
-            H0 = jnp.linalg.inv(Hd0)
+            H0 = _sinv(Hd0)
             Q0 = H0[:n_w, :n_w]
             R0 = H0[-p:, -p:]
             S0 = H0[:n_w, -p:]
             C0 = jac_C(Xmin_n[:n], U_s[:m], T_n[0], PY_n[:npy])
-            inbr0 = jnp.linalg.inv(C0 @ c.P @ C0.T + R0)
+            inbr0 = _sinv(C0 @ c.P @ C0.T + R0)
             K0 = c.P @ C0.T @ inbr0
             P_corr = c.P - K0 @ C0 @ c.P
             A0 = jac_A(X_n[:n], U_s[:m], ts, T_n[0], W_n[:n_w], PX_n[:npx])
@@ -646,11 +647,11 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
         sm = c.sm
         # current-stage linearization
         Hd = hess_wv(jnp.concatenate([w_k, v_k]), t_k)
-        H_k = jnp.linalg.inv(Hd)
+        H_k = _sinv(Hd)
         Q_k = H_k[:n_w, :n_w]
         R_k = H_k[-p:, -p:]
         S_k = H_k[:n_w, -p:]
-        R_kk = jnp.linalg.inv(Hd[-p:, -p:])              # Estimator.py:565-566
+        R_kk = _sinv(Hd[-p:, -p:])              # Estimator.py:565-566
         C_k = jac_C(xhat_corr, u_k, t_k, p_y)
         h_k = y_k - C_k @ xhat_corr - v_k
         args = (xhat_corr, u_k, ts, t_k, w_k, p_x)
@@ -661,7 +662,7 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
 
         # bookkeeping KF step (Estimator.py:590-607; xm_kal itself is
         # history-only and not carried)
-        inbr = jnp.linalg.inv(C_k @ sm.P_kal @ C_k.T + R_k)
+        inbr = _sinv(C_k @ sm.P_kal @ C_k.T + R_k)
         K_k = sm.P_kal @ C_k.T @ inbr
         P_corr_kal = sm.P_kal - K_k @ C_k @ sm.P_kal
         Pi = sm.P_kal
@@ -678,7 +679,7 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
         Pis = [None] * N
         Pis[N - 1] = bigPc_f[N - 1]
         for i in range(N - 2, -1, -1):
-            Pim = jnp.linalg.inv(bigP_f[i + 1])
+            Pim = _sinv(bigP_f[i + 1])
             Pis[i] = bigPc_f[i] + bigPc_f[i] @ bigA_f[i].T @ Pim @ (
                 Pis[i + 1] - bigP_f[i + 1]) @ Pim @ bigA_f[i] @ bigPc_f[i]
         P_new = sel(full, Pis[1], c.P)
@@ -731,7 +732,7 @@ def make_mhe_traced(cfg: MPCConfig, model: ModelFns):
         Obig = Cbig[:, :n]
         Gbig = Cbig[:, n:]
         QRbig = Qbig[n:, n:]
-        Pycondx_inv = jnp.linalg.inv(Gbig @ QRbig @ Gbig.T)
+        Pycondx_inv = _sinv(Gbig @ QRbig @ Gbig.T)
 
         x_bar_n = sel(full, w_opt[nxvw : nxvw + n], c.x_bar)  # Estimator.py:749-752
         sm_n = MHESmoothState(

@@ -22,6 +22,7 @@ import numpy as np
 from mpc_code_tpu.config import MPCConfig
 from mpc_code_tpu.models.model import ModelFns, PlantFns
 from mpc_code_tpu.solver.nlp import NLP
+from mpc_code_tpu.ops.smalllin import solve_lu as _ssolve
 
 
 @dataclass(frozen=True)
@@ -199,7 +200,7 @@ def make_lambda_update(cfg: MPCConfig, model: ModelFns, plant: PlantFns) -> Call
         Bu = jax.jacfwd(lambda u: model.fx(xs, u, cfg.h, d, t, px))(us)
         Cx = jax.jacfwd(lambda x: model.fy(x, us, d, t, py))(xs)
         n = Ax.shape[0]
-        return Cx @ jnp.linalg.solve(jnp.eye(n, dtype=Ax.dtype) - Ax, Bu)
+        return Cx @ _ssolve(jnp.eye(n, dtype=Ax.dtype) - Ax, Bu)
 
     def grad_plant(xps, us, pxp, t, pxmp, pyp, pymp):
         if plant.nominal:
@@ -212,7 +213,7 @@ def make_lambda_update(cfg: MPCConfig, model: ModelFns, plant: PlantFns) -> Call
         Bu = jax.jacfwd(lambda u: fx(xps, u))(us)
         Cx = jax.jacfwd(fy)(xps)
         n = Ax.shape[0]
-        return Cx @ jnp.linalg.solve(jnp.eye(n, dtype=Ax.dtype) - Ax, Bu)
+        return Cx @ _ssolve(jnp.eye(n, dtype=Ax.dtype) - Ax, Bu)
 
     alpha = cfg.alpha_mod
 

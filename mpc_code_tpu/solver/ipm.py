@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from mpc_code_tpu.config import SolverOptions
+from mpc_code_tpu.ops.smalllin import chol as _schol, solve_lu as _ssolve
 from mpc_code_tpu.solver.nlp import (
     IPMResult,
     NLP,
@@ -287,7 +288,7 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
             eye_free = jnp.diag(jnp.where(free_w, 1.0, 0.0))
 
             def _pd_ok(d):
-                L = jnp.linalg.cholesky(M_test + d * eye_free)
+                L = _schol(M_test + d * eye_free)
                 return jnp.all(jnp.isfinite(L))
 
             ok = jax.vmap(_pd_ok)(deltas)
@@ -302,11 +303,11 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
                 ])
                 rhs_c = -r_c + sinv * (y + bgrad_s)
                 rhs = jnp.concatenate([rhs_w, rhs_c])
-                sol = jnp.linalg.solve(K, rhs)
+                sol = _ssolve(K, rhs)
                 dw, dy = sol[:nw], sol[nw:]
                 ds = jnp.where(fixed_s, 0.0, sinv * (dy + y + bgrad_s))
             else:
-                dw = jnp.linalg.solve(Hbar, rhs_w)
+                dw = _ssolve(Hbar, rhs_w)
                 dy = jnp.zeros(0, dtype=dtype)
                 ds = jnp.zeros(0, dtype=dtype)
 
@@ -372,7 +373,7 @@ def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
                 c_trial = c_trial_full
                 c_soc = alpha_max * r_c + c_trial
                 rhs_c_soc = -c_soc + sinv * (y + bgrad_s)
-                sol_soc = jnp.linalg.solve(K, jnp.concatenate([rhs_w, rhs_c_soc]))
+                sol_soc = _ssolve(K, jnp.concatenate([rhs_w, rhs_c_soc]))
                 dw_soc = jnp.where(fixed_w, 0.0, sol_soc[:nw])
                 dy_soc = sol_soc[nw:]
                 ds_soc = jnp.where(fixed_s, 0.0, sinv * (dy_soc + y + bgrad_s))

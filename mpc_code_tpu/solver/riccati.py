@@ -43,6 +43,9 @@ from mpc_code_tpu.config import (
     ContinuousModel, DiscreteModel, MPCConfig, SolverOptions,
 )
 from mpc_code_tpu.models.model import ModelFns
+from mpc_code_tpu.ops.smalllin import (
+    chol as _schol, cho_solve as _scho_solve, solve_lu as _ssolve,
+)
 from mpc_code_tpu.solver.nlp import (
     STATUS_ACCEPTABLE,
     STATUS_INFEASIBLE,
@@ -351,7 +354,7 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
 
             def newton(S, _):
                 J = jax.jacfwd(_coll_res)(S, x, u, d_, t_, px_k)
-                S = S - jnp.linalg.solve(J, _coll_res(S, x, u, d_, t_, px_k))
+                S = S - _ssolve(J, _coll_res(S, x, u, d_, t_, px_k))
                 return S, None
 
             S0 = jnp.concatenate([x, x])
@@ -360,7 +363,7 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
             # root gives exact first-order derivatives (residual ~ 0)
             S_star = lax.stop_gradient(S_star)
             J = jax.jacfwd(_coll_res)(S_star, x, u, d_, t_, px_k)
-            return S_star - jnp.linalg.solve(
+            return S_star - _ssolve(
                 J, _coll_res(S_star, x, u, d_, t_, px_k))
 
         def _coll_next(x, u, k, p):
@@ -740,17 +743,17 @@ def _riccati_eqstage(Hs, q, A, B, rd, PN, pN, Cz, hv, *, nxa, nu, n_eq):
         Pr = pv + P @ rdk
         qx = qk[:nxa] + Ak.T @ Pr
         qu = qk[nxa:] + Bk.T @ Pr
-        L = jnp.linalg.cholesky(Quu)
+        L = _schol(Quu)
         ok = ok & jnp.all(jnp.isfinite(L))
-        cho = lambda rhs: jax.scipy.linalg.cho_solve((L, True), rhs)
+        cho = lambda rhs: _scho_solve(L, rhs)
         Qi_ux = cho(Qxu.T)                      # Quu^-1 Qux
         Qi_qu = cho(qu)
         Qi_Cut = cho(Cu.T)                      # Quu^-1 Cu'
         S = Cu @ Qi_Cut
         S = 0.5 * (S + S.T) + eps_s * jnp.eye(n_eq, dtype=dtype)
-        Ls = jnp.linalg.cholesky(S)
+        Ls = _schol(S)
         ok = ok & jnp.all(jnp.isfinite(Ls))
-        chos = lambda rhs: jax.scipy.linalg.cho_solve((Ls, True), rhs)
+        chos = lambda rhs: _scho_solve(Ls, rhs)
         Cxt = Cx - Cu @ Qi_ux                   # Cx~
         ht = hvk - Cu @ Qi_qu                   # h~
         Si_Cxt = chos(Cxt)
@@ -817,9 +820,9 @@ def _riccati_tc(Hs, q, A, B, rd, PN, pN, rT, *, nxa, nu, n_tc):
         Pr = pv + P @ rdk
         qx = qk[:nxa] + Ak.T @ Pr
         qu = qk[nxa:] + Bk.T @ Pr
-        L = jnp.linalg.cholesky(Quu)
+        L = _schol(Quu)
         ok = ok & jnp.all(jnp.isfinite(L))
-        cho = lambda rhs: jax.scipy.linalg.cho_solve((L, True), rhs)
+        cho = lambda rhs: _scho_solve(L, rhs)
         Kk = -cho(Qxu.T)
         kk = -cho(qu)
         FB = F @ Bk
@@ -841,9 +844,9 @@ def _riccati_tc(Hs, q, A, B, rd, PN, pN, rT, *, nxa, nu, n_tc):
     # singular cases flows into the ok flag via the Cholesky)
     M = -Hm0
     eps_x = 10.0 * jnp.finfo(dtype).eps * (1.0 + jnp.max(jnp.abs(jnp.diag(M))))
-    Lx = jnp.linalg.cholesky(M + eps_x * jnp.eye(n_tc, dtype=dtype))
+    Lx = _schol(M + eps_x * jnp.eye(n_tc, dtype=dtype))
     ok = ok & jnp.all(jnp.isfinite(Lx))
-    xi = jax.scipy.linalg.cho_solve((Lx, True), f0)
+    xi = _scho_solve(Lx, f0)
     xi = jnp.nan_to_num(xi, nan=0.0, posinf=0.0, neginf=0.0)
 
     def fwd(dx, inp):
@@ -892,15 +895,15 @@ def _riccati_eqstage_tc(Hs, q, A, B, rd, PN, pN, Cz, hv, rT, *,
         Pr = pv + P @ rdk
         qx = qk[:nxa] + Ak.T @ Pr
         qu = qk[nxa:] + Bk.T @ Pr
-        L = jnp.linalg.cholesky(Quu)
+        L = _schol(Quu)
         ok = ok & jnp.all(jnp.isfinite(L))
-        cho = lambda rhs: jax.scipy.linalg.cho_solve((L, True), rhs)
+        cho = lambda rhs: _scho_solve(L, rhs)
         Qi_Cut = cho(Cu.T)
         S = Cu @ Qi_Cut
         S = 0.5 * (S + S.T) + eps_s * jnp.eye(n_eq, dtype=dtype)
-        Ls = jnp.linalg.cholesky(S)
+        Ls = _schol(S)
         ok = ok & jnp.all(jnp.isfinite(Ls))
-        chos = lambda rhs: jax.scipy.linalg.cho_solve((Ls, True), rhs)
+        chos = lambda rhs: _scho_solve(Ls, rhs)
 
         def bordered(g, e):
             # du = -(Quu^-1 g + Quu^-1 Cu' S^-1 (e - Cu Quu^-1 g)),
@@ -930,9 +933,9 @@ def _riccati_eqstage_tc(Hs, q, A, B, rd, PN, pN, Cz, hv, rT, *,
 
     M = -Hm0
     eps_x = 10.0 * jnp.finfo(dtype).eps * (1.0 + jnp.max(jnp.abs(jnp.diag(M))))
-    Lx = jnp.linalg.cholesky(M + eps_x * jnp.eye(n_tc, dtype=dtype))
+    Lx = _schol(M + eps_x * jnp.eye(n_tc, dtype=dtype))
     ok = ok & jnp.all(jnp.isfinite(Lx))
-    xi = jax.scipy.linalg.cho_solve((Lx, True), f0)
+    xi = _scho_solve(Lx, f0)
     xi = jnp.nan_to_num(xi, nan=0.0, posinf=0.0, neginf=0.0)
 
     def fwd(dx, inp):
@@ -1582,9 +1585,9 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 Hxx = Hs[:, :nxa, :nxa]
                 qx_s = q[:, :nxa]
                 qu_s = q[:, nxa:]
-                L = jnp.linalg.cholesky(Huu)
+                L = _schol(Huu)
                 ok = jnp.all(jnp.isfinite(L))
-                cho = jax.vmap(lambda Lk, Bm: jax.scipy.linalg.cho_solve((Lk, True), Bm))
+                cho = jax.vmap(_scho_solve)
                 Hi_ux = cho(L, jnp.swapaxes(Hxu, 1, 2))          # Huu^-1 Hux
                 Hi_qu = cho(L, qu_s[..., None])[..., 0]
                 Hi_Bt = cho(L, jnp.swapaxes(B, 1, 2))            # Huu^-1 B'
@@ -1612,7 +1615,7 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                     rhs = jnp.concatenate(
                         [A1, (b1 + jnp.einsum("...ab,...b->...a", C1, n2))[..., None],
                          C1], axis=-1)
-                    sol = jnp.linalg.solve(M, rhs)
+                    sol = _ssolve(M, rhs)
                     MA1 = sol[..., :nxa]
                     Mb = sol[..., nxa]
                     MC1 = sol[..., nxa + 1:]
@@ -1624,7 +1627,7 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                     rhs2 = jnp.concatenate(
                         [(n2 - jnp.einsum("...ab,...b->...a", J2, b1))[..., None],
                          J2 @ A1], axis=-1)
-                    sol2 = jnp.linalg.solve(Mt, rhs2)
+                    sol2 = _ssolve(Mt, rhs2)
                     n12 = jnp.einsum("...ba,...b->...a", A1, sol2[..., 0]) + n1
                     J12 = jnp.swapaxes(A1, -1, -2) @ sol2[..., 1:] + J1
                     J12 = 0.5 * (J12 + jnp.swapaxes(J12, -1, -2))
@@ -1644,7 +1647,7 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
                 qu_f = qu_s + jnp.einsum("kba,kb->ka", B,
                                          jnp.einsum("kab,kb->ka", P_nxt, r_d) + p_nxt)
                 Qux_f = jnp.swapaxes(Hxu, 1, 2) + jnp.swapaxes(B, 1, 2) @ P_nxt @ A
-                Lf = jnp.linalg.cholesky(Quu_f)
+                Lf = _schol(Quu_f)
                 ok = ok & jnp.all(jnp.isfinite(Lf))
                 Ks = -cho(Lf, Qux_f)
                 kf = -cho(Lf, qu_f[..., None])[..., 0]

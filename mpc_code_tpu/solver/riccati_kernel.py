@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+from mpc_code_tpu.ops.smalllin import chol as _schol, cho_solve as _scho_solve
 
 _LANES = int(os.environ.get("MPC_TPU_PALLAS_TILE", "128"))
 
@@ -60,10 +61,10 @@ def _riccati_ref(Hs, q, A, B, rd, PN, pN, delta, *, nxa, nu):
         Pr = pv + P @ rdk
         qx = qk[:nxa] + Ak.T @ Pr
         qu = qk[nxa:] + Bk.T @ Pr
-        L = jnp.linalg.cholesky(Quu)
+        L = _schol(Quu)
         ok = ok & jnp.all(jnp.isfinite(L))
-        Kk = -jax.scipy.linalg.cho_solve((L, True), Qxu.T)
-        kk = -jax.scipy.linalg.cho_solve((L, True), qu)
+        Kk = -_scho_solve(L, Qxu.T)
+        kk = -_scho_solve(L, qu)
         P_new = Qxx + Qxu @ Kk
         P_new = 0.5 * (P_new + P_new.T)
         p_new = qx + Qxu @ kk

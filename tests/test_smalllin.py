@@ -1,0 +1,75 @@
+"""Unrolled small-matrix linear algebra (ops/smalllin.py) vs LAPACK.
+
+The unrolled path engages only for f32 inputs (the TPU production
+dtype); the suite's f64 regime uses the LAPACK custom-calls, so these
+tests pin the unrolled kernels explicitly at f32 against f64 references.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mpc_code_tpu.ops.smalllin import chol, cho_solve, inv, solve_lu
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 5, 9, 17, 24])
+def test_chol_and_solve_match_lapack(n):
+    rng = np.random.default_rng(n)
+    A = rng.normal(size=(16, n, n))
+    spd = (A @ np.swapaxes(A, -1, -2) + n * np.eye(n)).astype(np.float32)
+    b = rng.normal(size=(16, n)).astype(np.float32)
+    L = np.asarray(chol(jnp.asarray(spd)))
+    Lr = np.linalg.cholesky(np.asarray(spd, np.float64))
+    assert np.abs(L - Lr).max() < 1e-3 * n
+    x = np.asarray(cho_solve(jnp.asarray(L), jnp.asarray(b)))
+    xr = np.linalg.solve(np.asarray(spd, np.float64), b[..., None])[..., 0]
+    assert np.abs(x - xr).max() < 5e-2
+
+
+@pytest.mark.parametrize("n", [2, 5, 9, 13])
+def test_pivoted_lu_indefinite(n):
+    # saddle-point (indefinite) systems — the dense IPM KKT shape; the
+    # zero diagonal head forces actual pivoting
+    rng = np.random.default_rng(n + 100)
+    K = rng.normal(size=(8, n, n))
+    K = (K + np.swapaxes(K, -1, -2)).astype(np.float32)
+    K[:, 0, 0] = 0.0
+    b = rng.normal(size=(8, n)).astype(np.float32)
+    x = np.asarray(solve_lu(jnp.asarray(K), jnp.asarray(b)))
+    xr = np.linalg.solve(np.asarray(K, np.float64), b[..., None])[..., 0]
+    rel = np.abs(x - xr).max() / max(1.0, np.abs(xr).max())
+    assert rel < 5e-3, rel
+
+
+def test_matrix_rhs_and_inv():
+    rng = np.random.default_rng(7)
+    A = rng.normal(size=(4, 6, 6)).astype(np.float32)
+    A = A + 6 * np.eye(6, dtype=np.float32)
+    B = rng.normal(size=(4, 6, 3)).astype(np.float32)
+    X = np.asarray(solve_lu(jnp.asarray(A), jnp.asarray(B)))
+    Xr = np.linalg.solve(np.asarray(A, np.float64), B)
+    assert np.abs(X - Xr).max() < 2e-3
+    Ai = np.asarray(inv(jnp.asarray(A)))
+    assert np.abs(Ai @ A - np.eye(6)).max() < 2e-3
+
+
+def test_indefinite_chol_propagates_nan():
+    # callers (inertia probes, Riccati ok-flags) detect failure via NaN,
+    # exactly like jnp.linalg.cholesky
+    neg = jnp.asarray(-np.eye(3, dtype=np.float32)[None].repeat(4, 0))
+    assert np.isnan(np.asarray(chol(neg))).any()
+
+
+def test_unbatched_under_vmap():
+    # the solver call sites run per-lane (unbatched trace) under vmap —
+    # the unrolled loops must be vmappable
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(12, 5, 5)).astype(np.float32)
+    A = A + 5 * np.eye(5, dtype=np.float32)
+    b = rng.normal(size=(12, 5)).astype(np.float32)
+    f = jax.vmap(lambda a, bb: solve_lu(a, bb))
+    x = np.asarray(f(jnp.asarray(A), jnp.asarray(b)))
+    xr = np.linalg.solve(np.asarray(A, np.float64), b[..., None])[..., 0]
+    assert np.abs(x - xr).max() < 2e-3
