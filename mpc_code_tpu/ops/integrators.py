@@ -165,7 +165,8 @@ def _compose_clip(f: Callable, clip_lo, clip_hi) -> Callable:
     return fc
 
 
-def rk4_stage_jac(f: Callable, Mx: int, clip_lo=None, clip_hi=None):
+def rk4_stage_jac(f: Callable, Mx: int, clip_lo=None, clip_hi=None,
+                  impl=None):
     """Stage-sweep RK4 rollout WITH first-order Jacobians, batch-friendly.
 
     ``f`` is the RAW reordered model ODE ``f(x, t, u, d, px)``;
@@ -239,8 +240,8 @@ def rk4_stage_jac(f: Callable, Mx: int, clip_lo=None, clip_hi=None):
         xs, us, pxs, t, h, d = _bcast_unbatched(
             axis_size, in_batched, [xs, us, pxs, t, h, d])
 
-        impl = _sweep_impl()
-        if impl in ("auto", "pallas"):
+        eff_impl = impl or _sweep_impl()
+        if eff_impl in ("auto", "pallas"):
             from mpc_code_tpu.ops.sweep_pallas import (
                 pallas_sweep_available, rk4_stage_jac_pallas,
             )
@@ -254,6 +255,18 @@ def rk4_stage_jac(f: Callable, Mx: int, clip_lo=None, clip_hi=None):
                 h_b = jnp.broadcast_to(jnp.asarray(h, xs.dtype).reshape(-1),
                                        (xs.shape[0],))
                 return _pallas_sweep[0](xs, us, pxs, t_b, h_b, d), (True,) * 3
+        if eff_impl == "jacfwd":
+            # batch-major vmap(vmap(jacfwd)) — the generic layout, kept
+            # as an explicit escape hatch / autotune candidate
+            v1 = jax.vmap(_one_jac, in_axes=(0, 0, 0, None, None, None))
+            vv = jax.vmap(v1, in_axes=(0, 0, 0, 0, 0, 0))
+            t_b = jnp.broadcast_to(jnp.asarray(t).reshape(-1),
+                                   (xs.shape[0],))
+            h_b = jnp.broadcast_to(jnp.asarray(h).reshape(-1),
+                                   (xs.shape[0],))
+            d_b = jnp.broadcast_to(jnp.asarray(d),
+                                   (xs.shape[0],) + jnp.shape(d)[-1:])
+            return vv(xs, us, pxs, t_b, h_b, d_b), (True,) * 3
 
         Bsz, N, nx = xs.shape
         nu = us.shape[-1]

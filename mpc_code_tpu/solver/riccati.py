@@ -613,11 +613,26 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
             def _ode(xx, tt, uu, dd, pp):
                 return _ufx(xx, uu, dd, tt, pp)
 
+            # MPC_TPU_SWEEP_AUTOTUNE=1: probe pallas/lanes/jacfwd on the
+            # actual model at the hinted batch shapes and pin the winner
+            # (cached; round-4 VERDICT item 7 — no frozen crossover)
+            _impl = None
+            if (os.environ.get("MPC_TPU_SWEEP_AUTOTUNE", "0") == "1"
+                    and batch_hint is not None):
+                from mpc_code_tpu.ops.sweep_autotune import (
+                    autotune_sweep_impl,
+                )
+
+                _impl = autotune_sweep_impl(
+                    _ode, getattr(m, "Mx", 10), m.clip_lo, m.clip_hi,
+                    int(batch_hint), cfg.N, nx, nu, cfg.npx, cfg.nd,
+                    verbose=True)
             # the saturation guard rides as scalar bounds so the fused
             # Pallas sweep can apply it from literals; the XLA paths
             # compose it (integrators._compose_clip)
             _sj_cont = rk4_stage_jac(_ode, getattr(m, "Mx", 10),
-                                     clip_lo=m.clip_lo, clip_hi=m.clip_hi)
+                                     clip_lo=m.clip_lo, clip_hi=m.clip_hi,
+                                     impl=_impl)
             _sj_disc = None
         else:
             _sj_cont = None

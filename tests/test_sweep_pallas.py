@@ -156,3 +156,26 @@ def test_solver_pallas_sweep_matches_generic(monkeypatch):
     # same KKT point to solver tolerance (op orderings differ)
     assert np.abs(np.asarray(res["pallas"].U)
                   - np.asarray(res["generic"].U)).max() < 1e-5
+
+
+def test_autotune_probe_and_cache(tmp_path, monkeypatch):
+    """MPC_TPU_SWEEP_AUTOTUNE: the probe times the available sweep impls
+    on the actual model, returns a valid name, and caches the decision
+    (second call is instant, same answer)."""
+    import time
+
+    monkeypatch.setenv("MPC_TPU_AOT_CACHE", str(tmp_path))
+    from mpc_code_tpu.examples.nmpc import model_fxm
+    from mpc_code_tpu.ops.sweep_autotune import autotune_sweep_impl
+
+    def _ode(xx, tt, uu, dd, pp):
+        return model_fxm(xx, uu, dd, tt, pp)
+
+    w = autotune_sweep_impl(_ode, 3, None, None, 16, 5, 3, 2, 3, 2)
+    assert w in ("pallas", "lanes", "jacfwd")
+    t0 = time.time()
+    w2 = autotune_sweep_impl(_ode, 3, None, None, 16, 5, 3, 2, 3, 2)
+    assert w2 == w and time.time() - t0 < 0.5
+    # a different shape signature re-probes (separate cache line)
+    w3 = autotune_sweep_impl(_ode, 3, None, None, 32, 5, 3, 2, 3, 2)
+    assert w3 in ("pallas", "lanes", "jacfwd")
