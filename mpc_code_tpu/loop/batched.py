@@ -125,7 +125,8 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None,
         vfin = build_terminal_cost(cfg)
         tspec = build_target(cfg, model, fss_obj)
         ospec = build_ocp(cfg, model, f_obj, vfin)
-        target_solve = make_solver(tspec.nlp, cfg.sol_opts_ss)
+        target_solve = make_solver(tspec.nlp, cfg.sol_opts_ss,
+                                   batch_hint=batch_hint)
 
     # structured Riccati fast path for the OCP when the feature set allows
     # it (incl. soft output constraints via constant-slack augmentation and
@@ -149,15 +150,18 @@ def make_mpc_step(cfg: MPCConfig, ysp=None, usp=None, xsp=None,
         nup = socp.nxa - nx - ns_s
         du_aug = nup > 0
     elif not estimating:
-        ocp_solve = make_solver(ospec.nlp, cfg.sol_opts_dyn)
+        ocp_solve = make_solver(ospec.nlp, cfg.sol_opts_dyn,
+                                batch_hint=batch_hint)
 
     adaptation = (not estimating) and cfg.Adaptation
     if adaptation:
         ssp_spec = build_ssp(cfg, plant)
-        ssp_solve = make_solver(ssp_spec.nlp, cfg.sol_opts_ss)
+        ssp_solve = make_solver(ssp_spec.nlp, cfg.sol_opts_ss,
+                                batch_hint=batch_hint)
         fss2 = cfg.ss_cost.f_obj if nx != cfg.nxp else fss_obj
         ssp2_spec = build_ssp2(cfg, plant, fss2)
-        ssp2_solve = make_solver(ssp2_spec.nlp, cfg.sol_opts_ss)
+        ssp2_solve = make_solver(ssp2_spec.nlp, cfg.sol_opts_ss,
+                                 batch_hint=batch_hint)
         lambda_update = make_lambda_update(cfg, model, plant)
 
     est = cfg.estimator

@@ -33,7 +33,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from mpc_code_tpu.config import SolverOptions
-from mpc_code_tpu.ops.smalllin import chol as _schol, solve_lu as _ssolve
+from mpc_code_tpu.ops.smalllin import (
+    MAX_UNROLL, MIN_BATCH, chol_unrolled, solve_lu_unrolled,
+)
 from mpc_code_tpu.solver.nlp import (
     IPMResult,
     NLP,
@@ -75,14 +77,37 @@ def _masked_div(num, den, mask):
     return jnp.where(mask, num / den_safe, 0.0)
 
 
-def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions()) -> Callable:
+def make_solver(nlp: NLP, opts: SolverOptions = SolverOptions(),
+                batch_hint=None) -> Callable:
     """Build ``solve(w0, p, lbw, ubw, lbg, ubg) -> IPMResult``.
 
     The returned callable is jit/vmap friendly; wrap it yourself, e.g.::
 
         solve = jax.jit(make_solver(nlp))
         batched = jax.jit(jax.vmap(make_solver(nlp), in_axes=(0, 0, None, None, None, None)))
+
+    ``batch_hint``: expected vmap batch of the caller.  With a hint
+    >= smalllin.MIN_BATCH the KKT factorizations use the unrolled
+    small-matrix kernels (ops/smalllin.py — the batched-TPU win that
+    took the ENMPC step 9.1k -> 41k steps/s); without one they keep
+    the LAPACK custom-calls, which win the single-lane latency
+    regime (chip A/B: nmpc target p50 90 vs 123 ms).
     """
+    import os as _os
+
+    _unroll_hint = (batch_hint is not None and batch_hint >= MIN_BATCH
+                    and _os.environ.get("MPC_TPU_SMALLLIN", "1") != "0")
+
+    def _schol(M):
+        if _unroll_hint and M.dtype == jnp.float32 and M.shape[-1] <= MAX_UNROLL:
+            return chol_unrolled(M)
+        return jnp.linalg.cholesky(M)
+
+    def _ssolve(A, b):
+        if _unroll_hint and A.dtype == jnp.float32 and A.shape[-1] <= MAX_UNROLL:
+            return solve_lu_unrolled(A, b)
+        return jnp.linalg.solve(A, b)
+
     # hessian='gauss_newton' is accepted but this dense path always uses the
     # exact Lagrangian Hessian (GN is a structured-solver speed lever; the
     # dense solver is the correctness oracle)

@@ -45,6 +45,7 @@ from mpc_code_tpu.config import (
 from mpc_code_tpu.models.model import ModelFns
 from mpc_code_tpu.ops.smalllin import (
     chol as _schol, cho_solve as _scho_solve, solve_lu as _ssolve,
+    solve_lu_ad as _ssolve_ad,
 )
 from mpc_code_tpu.solver.nlp import (
     STATUS_ACCEPTABLE,
@@ -354,7 +355,7 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
 
             def newton(S, _):
                 J = jax.jacfwd(_coll_res)(S, x, u, d_, t_, px_k)
-                S = S - _ssolve(J, _coll_res(S, x, u, d_, t_, px_k))
+                S = S - _ssolve_ad(J, _coll_res(S, x, u, d_, t_, px_k))
                 return S, None
 
             S0 = jnp.concatenate([x, x])
@@ -363,7 +364,7 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
             # root gives exact first-order derivatives (residual ~ 0)
             S_star = lax.stop_gradient(S_star)
             J = jax.jacfwd(_coll_res)(S_star, x, u, d_, t_, px_k)
-            return S_star - _ssolve(
+            return S_star - _ssolve_ad(
                 J, _coll_res(S_star, x, u, d_, t_, px_k))
 
         def _coll_next(x, u, k, p):

@@ -11,7 +11,10 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from mpc_code_tpu.ops.smalllin import chol, cho_solve, inv, solve_lu
+from mpc_code_tpu.ops.smalllin import (
+    chol, cho_solve, inv, solve_lu,
+    chol_unrolled, cho_solve_unrolled, solve_lu_unrolled,
+)
 
 
 @pytest.mark.parametrize("n", [1, 2, 3, 5, 9, 17, 24])
@@ -20,10 +23,10 @@ def test_chol_and_solve_match_lapack(n):
     A = rng.normal(size=(16, n, n))
     spd = (A @ np.swapaxes(A, -1, -2) + n * np.eye(n)).astype(np.float32)
     b = rng.normal(size=(16, n)).astype(np.float32)
-    L = np.asarray(chol(jnp.asarray(spd)))
+    L = np.asarray(chol_unrolled(jnp.asarray(spd)))
     Lr = np.linalg.cholesky(np.asarray(spd, np.float64))
     assert np.abs(L - Lr).max() < 1e-3 * n
-    x = np.asarray(cho_solve(jnp.asarray(L), jnp.asarray(b)))
+    x = np.asarray(cho_solve_unrolled(jnp.asarray(L), jnp.asarray(b)))
     xr = np.linalg.solve(np.asarray(spd, np.float64), b[..., None])[..., 0]
     assert np.abs(x - xr).max() < 5e-2
 
@@ -37,7 +40,7 @@ def test_pivoted_lu_indefinite(n):
     K = (K + np.swapaxes(K, -1, -2)).astype(np.float32)
     K[:, 0, 0] = 0.0
     b = rng.normal(size=(8, n)).astype(np.float32)
-    x = np.asarray(solve_lu(jnp.asarray(K), jnp.asarray(b)))
+    x = np.asarray(solve_lu_unrolled(jnp.asarray(K), jnp.asarray(b)))
     xr = np.linalg.solve(np.asarray(K, np.float64), b[..., None])[..., 0]
     rel = np.abs(x - xr).max() / max(1.0, np.abs(xr).max())
     assert rel < 5e-3, rel
@@ -48,10 +51,10 @@ def test_matrix_rhs_and_inv():
     A = rng.normal(size=(4, 6, 6)).astype(np.float32)
     A = A + 6 * np.eye(6, dtype=np.float32)
     B = rng.normal(size=(4, 6, 3)).astype(np.float32)
-    X = np.asarray(solve_lu(jnp.asarray(A), jnp.asarray(B)))
+    X = np.asarray(solve_lu_unrolled(jnp.asarray(A), jnp.asarray(B)))
     Xr = np.linalg.solve(np.asarray(A, np.float64), B)
     assert np.abs(X - Xr).max() < 2e-3
-    Ai = np.asarray(inv(jnp.asarray(A)))
+    Ai = np.asarray(solve_lu_unrolled(jnp.asarray(A), jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32), (4, 6, 6))))
     assert np.abs(Ai @ A - np.eye(6)).max() < 2e-3
 
 
@@ -59,7 +62,7 @@ def test_indefinite_chol_propagates_nan():
     # callers (inertia probes, Riccati ok-flags) detect failure via NaN,
     # exactly like jnp.linalg.cholesky
     neg = jnp.asarray(-np.eye(3, dtype=np.float32)[None].repeat(4, 0))
-    assert np.isnan(np.asarray(chol(neg))).any()
+    assert np.isnan(np.asarray(chol_unrolled(neg))).any()
 
 
 def test_unbatched_under_vmap():
@@ -73,3 +76,23 @@ def test_unbatched_under_vmap():
     x = np.asarray(f(jnp.asarray(A), jnp.asarray(b)))
     xr = np.linalg.solve(np.asarray(A, np.float64), b[..., None])[..., 0]
     assert np.abs(x - xr).max() < 2e-3
+
+
+def test_custom_vmap_dispatch():
+    # public entry points: unbatched calls take the LAPACK path, vmapped
+    # calls (axis >= MIN_BATCH, f32) take the unrolled path — both agree
+    rng = np.random.default_rng(9)
+    A = rng.normal(size=(16, 7, 7)).astype(np.float32)
+    spd = A @ np.swapaxes(A, -1, -2) + 7 * np.eye(7, dtype=np.float32)
+    b = rng.normal(size=(16, 7)).astype(np.float32)
+    xv = np.asarray(jax.vmap(solve_lu)(jnp.asarray(spd), jnp.asarray(b)))
+    x0 = np.asarray(solve_lu(jnp.asarray(spd[0]), jnp.asarray(b[0])))
+    xr = np.linalg.solve(np.asarray(spd, np.float64), b[..., None])[..., 0]
+    assert np.abs(xv - xr).max() < 5e-2
+    assert np.abs(x0 - xr[0]).max() < 5e-2
+    Lv = np.asarray(jax.vmap(chol)(jnp.asarray(spd)))
+    assert np.abs(Lv - np.linalg.cholesky(spd)).max() < 1e-2
+    yv = np.asarray(jax.vmap(cho_solve)(jnp.asarray(Lv), jnp.asarray(b)))
+    assert np.abs(yv - xr).max() < 5e-2
+    Iv = np.asarray(jax.vmap(inv)(jnp.asarray(spd))) @ spd
+    assert np.abs(Iv - np.eye(7)).max() < 1e-2
