@@ -432,10 +432,30 @@ def rk4_quad_stage_hess(f: Callable, q: Callable, Mx: int):
         return jax.vmap(_one, in_axes=(0, 0, 0, 0) + (None,) * 5)(
             xs, us, pxs, pys, t, h, d, x_ss, u_ss)
 
+    _pallas_sweep = []
+
     @stage_sweep.def_vmap
     def _rule(axis_size, in_batched, *args):
         args = _bcast_unbatched(axis_size, in_batched, args)
         xs, us, pxs, pys, t, h, d, x_ss, u_ss = args
+
+        if _sweep_impl() in ("auto", "pallas"):
+            from mpc_code_tpu.ops.sweep_pallas import (
+                pallas_sweep_available, rk4_quad_stage_hess_pallas,
+            )
+
+            if pallas_sweep_available(xs.dtype):
+                if not _pallas_sweep:
+                    _pallas_sweep.append(rk4_quad_stage_hess_pallas(
+                        f, q, Mx))
+                B = xs.shape[0]
+                t_b = jnp.broadcast_to(jnp.asarray(t, xs.dtype).reshape(-1),
+                                       (B,))
+                h_b = jnp.broadcast_to(jnp.asarray(h, xs.dtype).reshape(-1),
+                                       (B,))
+                return (_pallas_sweep[0](xs, us, pxs, pys, t_b, h_b, d,
+                                         x_ss, u_ss), (True,) * 6)
+
         Bsz, N, nx = xs.shape
         nu = us.shape[-1]
         L = Bsz * N

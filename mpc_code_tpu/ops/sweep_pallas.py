@@ -159,12 +159,17 @@ def _tangent_inits(nx, nu, shape2, dtype):
     return M0, EU
 
 
-def _hoist_consts(f, example_args, dtype):
+def _hoist_consts(f, example_args, dtype, nodot: bool = False):
     """Trace ``f`` to a jaxpr and hoist its captured arrays (clip bounds,
     model matrices, ...) into explicit arguments — a Pallas kernel body
     cannot close over array constants (``jax.closure_convert`` does not
     help: it only extracts tracer constants, concrete arrays stay baked
     into the jaxpr).
+
+    ``nodot=True`` evaluates the jaxpr with ``dot_general`` decomposed
+    into broadcast-multiply+sum (sweep_kernel._eval_nodot): user output
+    maps like ``C @ x`` are tiny contractions that Mosaic's batched
+    matmul attr parsing rejects through this toolchain.
 
     Returns (f_pure, consts2d, const_shapes): call
     ``f_pure(*args, *consts)`` with each const reshaped back from its 2-D
@@ -176,11 +181,20 @@ def _hoist_consts(f, example_args, dtype):
     jaxpr = closed.jaxpr
     n_args = len(jaxpr.invars)
 
-    def f_pure(*args_and_consts):
-        args = args_and_consts[:n_args]
-        cs = args_and_consts[n_args:]
-        outs = eval_jaxpr(jaxpr, cs, *args)
-        return outs[0] if len(outs) == 1 else tuple(outs)
+    if nodot:
+        from mpc_code_tpu.solver.sweep_kernel import _eval_nodot
+
+        def f_pure(*args_and_consts):
+            args = args_and_consts[:n_args]
+            cs = args_and_consts[n_args:]
+            outs = _eval_nodot(jaxpr, cs, *args)
+            return outs[0] if len(outs) == 1 else tuple(outs)
+    else:
+        def f_pure(*args_and_consts):
+            args = args_and_consts[:n_args]
+            cs = args_and_consts[n_args:]
+            outs = eval_jaxpr(jaxpr, cs, *args)
+            return outs[0] if len(outs) == 1 else tuple(outs)
 
     consts2d, shapes = [], []
     for c, cv in zip(closed.consts, jaxpr.constvars):
@@ -386,5 +400,219 @@ def map_stage_jac_pallas(f: Callable):
         Jt = _unpack(outs[1], Bsz, N, L).reshape(Bsz, N, nz, nx)
         J = jnp.swapaxes(Jt, -1, -2)
         return xf, J[..., :nx], J[..., nx:]
+
+    return sweep
+
+
+def rk4_quad_stage_hess_pallas(f: Callable, q: Callable, Mx: int):
+    """Fused ContForm joint sweep: dynamics value+Jacobians AND the
+    quadrature cost's value/gradient/HESSIAN in one Pallas kernel.
+
+    ``F(xs, us, pxs, pys, t, h, d, x_ss, u_ss) -> (xf, Jx, Ju, qv, gq,
+    Hq)`` — identical per-lane semantics to
+    `ops.integrators.rk4_quad_stage_hess` (the economic-MPC / ContForm
+    transcription, Control_Calc.py:102-111,153-158).  Round-5 ENMPC
+    xprof: the batch-major exact-Hessian sweeps of this rollout were
+    ~16 ms of the 23 ms traced ENMPC step at B=1024.
+
+    Layout: 2-D lanes (dim, BL) blocks — unlike the first-order kernel's
+    (dim, rows, 128) planes — because ContForm user maps (``model.fy``)
+    may contract over the state axis (``C @ x``), which requires the
+    (nx, L) orientation the lanes-minor XLA rule already guarantees
+    model compatibility with; dots are decomposed to multiply+sum at
+    jaxpr level (Mosaic matmul attr skew).
+
+    Second order WITHOUT reverse-mode (vjp through an in-kernel loop
+    needs residual stacking Mosaic cannot lower): the substep map
+    ``S(z, u)`` on the augmented state z = (x, acc) is propagated with
+    first-order tangents Xi = dz/dxi_i and second-order tangents
+    Xij = d^2 z/dxi_i dxi_j via NESTED jvp — for each direction pair,
+    ``jvp(G, ..., (Xj, EU_j, Xij, 0))`` with ``G(z, u, v) = jvp(S)(v)``
+    yields S_zz(Xj)(Xi) + S_zu/S_uz cross terms + S_z Xij exactly.
+    Duplicate primal/first-order subexpressions across the
+    nz(nz+1)/2 pairs CSE away inside the single kernel body.
+    """
+
+    def sweep(xs, us, pxs, pys, t, h, d, x_ss, u_ss):
+        dtype = xs.dtype
+        Bsz, N, nx = xs.shape
+        nu = us.shape[-1]
+        npx = pxs.shape[-1]
+        npy = pys.shape[-1]
+        nd = d.shape[-1]
+        nz = nx + nu
+        pairs = [(i, j) for i in range(nz) for j in range(i, nz)]
+        L = Bsz * N
+        BL = int(os.environ.get("MPC_TPU_CF_PALLAS_COLS", "2048"))
+        TL = -(-L // BL) * BL
+
+        def pack_st(a):
+            dim = a.shape[-1]
+            flat = jnp.transpose(a, (2, 1, 0)).reshape(dim, L)
+            return jnp.pad(flat, ((0, 0), (0, TL - L)))
+
+        def pack_sh(a):
+            dim = a.shape[-1]
+            rep = jnp.tile(jnp.moveaxis(a, 0, -1), (1, N))
+            return jnp.pad(rep, ((0, 0), (0, TL - L)))
+
+        inputs = [pack_st(xs), pack_st(us),
+                  pack_sh(t[:, None]), pack_sh(h[:, None]),
+                  pack_sh(x_ss), pack_sh(u_ss)]
+        if npx:
+            inputs.append(pack_st(pxs))
+        if npy:
+            inputs.append(pack_st(pys))
+        if nd:
+            inputs.append(pack_sh(d))
+
+        blk = (BL,)
+
+        def shp(dim):
+            return jax.ShapeDtypeStruct((dim, BL), dtype)
+
+        # hoist both user maps' captured arrays; dots decomposed
+        # t rides as a 1-D (BL,) vector — the lanes-layout convention
+        # the user maps are already polymorphic over (scalars broadcast
+        # against (dim, BL) component rows)
+        f_pure, f_c2d, f_cs = _hoist_consts(
+            lambda xx, tt, uu, dd, pp, xss, uss, py: f(
+                xx, tt, uu, dd, pp, xss, uss, py),
+            (shp(nx), jax.ShapeDtypeStruct((BL,), dtype), shp(nu),
+             shp(nd), shp(npx), shp(nx), shp(nu), shp(npy)),
+            dtype, nodot=True)
+        q_pure, q_c2d, q_cs = _hoist_consts(
+            lambda xx, tt, uu, dd, pp, xss, uss, py: q(
+                xx, tt, uu, dd, pp, xss, uss, py),
+            (shp(nx), jax.ShapeDtypeStruct((BL,), dtype), shp(nu),
+             shp(nd), shp(npx), shp(nx), shp(nu), shp(npy)),
+            dtype, nodot=True)
+
+        def kernel(*refs):
+            it = iter(refs)
+            x0 = next(it)[...]
+            u = next(it)[...]
+            tv = next(it)[...][0]               # (BL,)
+            hv = next(it)[...][0]
+            xss = next(it)[...]
+            uss = next(it)[...]
+            px = next(it)[...] if npx else jnp.zeros((0, BL), dtype)
+            py = next(it)[...] if npy else jnp.zeros((0, BL), dtype)
+            dd = next(it)[...] if nd else jnp.zeros((0, BL), dtype)
+            fcs = [next(it)[...].reshape(s).astype(dt) for (s, dt) in f_cs]
+            qcs = [next(it)[...].reshape(s).astype(dt) for (s, dt) in q_cs]
+            xf_ref = next(it)
+            j_ref = next(it)
+            qv_ref = next(it)
+            gq_ref = next(it)
+            hq_ref = next(it)
+            dt_ = hv / Mx                       # (BL,)
+
+            def fv(xx, tt, uu):
+                return f_pure(xx, tt, uu, dd, px, xss, uss, py, *fcs)
+
+            def qv_(xx, tt, uu):
+                return q_pure(xx, tt, uu, dd, px, xss, uss, py, *qcs)
+
+            def one_hot(rows, hot):
+                return jnp.concatenate(
+                    [(jnp.ones if r == hot else jnp.zeros)((1, BL), dtype)
+                     for r in range(rows)], axis=0)
+
+            EU = [one_hot(nu, i - nx) for i in range(nz)]
+            ZU = jnp.zeros((nu, BL), dtype)
+            Xi0 = tuple((one_hot(nx, i), jnp.zeros((BL,), dtype))
+                        for i in range(nz))
+            Xij0 = tuple((jnp.zeros((nx, BL), dtype),
+                          jnp.zeros((BL,), dtype)) for _ in pairs)
+
+            def body(jidx, carry):
+                x, acc, Xis, Xijs = carry
+                tt = tv + jidx.astype(dtype) * dt_
+
+                def S(xx, aa, uu):
+                    k1 = fv(xx, tt, uu)
+                    q1 = qv_(xx, tt, uu)
+                    x2 = xx + dt_ / 2 * k1
+                    k2 = fv(x2, tt + dt_ / 2, uu)
+                    q2 = qv_(x2, tt + dt_ / 2, uu)
+                    x3 = xx + dt_ / 2 * k2
+                    k3 = fv(x3, tt + dt_ / 2, uu)
+                    q3 = qv_(x3, tt + dt_ / 2, uu)
+                    x4 = xx + dt_ * k3
+                    k4 = fv(x4, tt + dt_, uu)
+                    q4 = qv_(x4, tt + dt_, uu)
+                    xn = xx + dt_ / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+                    an = aa + dt_ / 6 * (q1 + 2 * q2 + 2 * q3 + q4)
+                    return xn, an
+
+                def G(xx, aa, uu, vx, va, vu):
+                    return jax.jvp(S, (xx, aa, uu), (vx, va, vu))
+
+                newXi = [None] * nz
+                newXij = [None] * len(pairs)
+                S_out = None
+                for pi, (i, jj) in enumerate(pairs):
+                    prim = (x, acc, u, Xis[i][0], Xis[i][1], EU[i])
+                    tang = (Xis[jj][0], Xis[jj][1], EU[jj],
+                            Xijs[pi][0], Xijs[pi][1], ZU)
+                    (S_out, dSi), (dSj, dd2) = jax.jvp(G, prim, tang)
+                    newXi[i] = dSi
+                    newXi[jj] = dSj
+                    newXij[pi] = dd2
+                return (S_out[0], S_out[1], tuple(newXi), tuple(newXij))
+
+            x, acc, Xis, Xijs = jax.lax.fori_loop(
+                0, Mx, body,
+                (x0, jnp.zeros((BL,), dtype), Xi0, Xij0))
+
+            xf_ref[...] = x
+            qv_ref[...] = acc.reshape(1, BL)
+            for i in range(nz):
+                j_ref[i * nx:(i + 1) * nx] = Xis[i][0]
+                gq_ref[i:i + 1] = Xis[i][1].reshape(1, BL)
+            for pi, (i, jj) in enumerate(pairs):
+                v = Xijs[pi][1].reshape(1, BL)
+                hq_ref[i * nz + jj:i * nz + jj + 1] = v
+                if i != jj:
+                    hq_ref[jj * nz + i:jj * nz + i + 1] = v
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def bs(dim):
+            return pl.BlockSpec((dim, BL), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        def bs_const(shape2d):
+            return pl.BlockSpec(shape2d, lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+
+        out_dims = (nx, nz * nx, 1, nz, nz * nz)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(TL // BL,),
+            out_shape=tuple(jax.ShapeDtypeStruct((p, TL), dtype)
+                            for p in out_dims),
+            in_specs=([bs(a.shape[0]) for a in inputs]
+                      + [bs_const(tuple(c.shape)) for c in f_c2d]
+                      + [bs_const(tuple(c.shape)) for c in q_c2d]),
+            out_specs=tuple(bs(p) for p in out_dims),
+            interpret=_interpret(),
+        )(*inputs, *f_c2d, *q_c2d)
+
+        def unpack(flat, shape):
+            dim = flat.shape[0]
+            a = jnp.transpose(flat[:, :L].reshape(dim, N, Bsz), (2, 1, 0))
+            return a.reshape((Bsz, N) + shape + ((dim,) if not shape
+                                                 else ()))
+
+        xf = unpack(outs[0], ())                          # (B, N, nx)
+        Jt = unpack(outs[1], ()).reshape(Bsz, N, nz, nx)
+        J = jnp.swapaxes(Jt, -1, -2)
+        qv = unpack(outs[2], ())[..., 0]                  # (B, N)
+        gq = unpack(outs[3], ())                          # (B, N, nz)
+        Hq = unpack(outs[4], ()).reshape(Bsz, N, nz, nz)
+        return xf, J[..., :nx], J[..., nx:], qv, gq, Hq
 
     return sweep

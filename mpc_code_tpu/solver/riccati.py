@@ -689,8 +689,10 @@ def build_structured_ocp(cfg: MPCConfig, model: ModelFns, f_obj, vfin,
     # rollout).  No augmentation here: ContForm forces du_coupled off, and
     # the shared-slack augmentation keeps the generic path.
     stage_cf = None
-    if cont_form and not slacks and _fast_sweep_on(batch_hint,
-                                                   pallas_ok=False):
+    # the ContForm joint sweep has a fused Pallas kernel since round 5
+    # (rk4_quad_stage_hess_pallas) — pallas_ok governs the all-regimes
+    # engagement exactly like the plain dynamics sweep
+    if cont_form and not slacks and _fast_sweep_on(batch_hint):
         from mpc_code_tpu.ops.integrators import rk4_quad_stage_hess
 
         _sw_cf = rk4_quad_stage_hess(_ode, _quad, Mx_c)

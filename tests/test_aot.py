@@ -71,3 +71,77 @@ def test_export_cached_roundtrip(tmp_path):
     # a different key produces a different artifact (no collisions)
     export_cached(fn, "test-lane-2", shapes, cache_dir=str(tmp_path))
     assert len(list(tmp_path.glob("*.jaxexp"))) == 2
+
+
+def test_content_hash_config_identity():
+    """utils.aot.content_hash (round-5): two independently-constructed
+    identical MPCConfigs hash identically (automatic artifact sharing);
+    any one-field change — a number, an array entry, or the SOURCE of a
+    model callable — changes the hash."""
+    from mpc_code_tpu.examples.nmpc import make_config
+    from mpc_code_tpu.utils.aot import content_hash
+
+    h1 = content_hash(make_config())
+    h2 = content_hash(make_config())
+    assert h1 == h2
+
+    assert content_hash(make_config().replace(N=49)) != h1
+    cfg3 = make_config()
+    q = np.asarray(cfg3.stage_cost.Q).copy()
+    q[0, 0] += 1e-9
+    import dataclasses as dc
+
+    cfg3 = cfg3.replace(stage_cost=dc.replace(cfg3.stage_cost, Q=q))
+    assert content_hash(cfg3) != h1
+
+    # callable identity follows SOURCE + captured values, not object id
+    a = np.array([1.0, 2.0])
+
+    def mk(arr):
+        def f(x):
+            return x + arr
+        return f
+
+    assert content_hash(mk(a)) == content_hash(mk(a.copy()))
+    assert content_hash(mk(a)) != content_hash(mk(np.array([1.0, 3.0])))
+
+
+def test_runner_auto_aot_key(tmp_path, monkeypatch):
+    """make_closed_loop_runner(aot_key='auto'): same config -> shared
+    artifact with NO hand-written key; a config change misses."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "__graft_entry__.py"))
+    ge = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ge)
+
+    from mpc_code_tpu.parallel import make_closed_loop_runner
+
+    monkeypatch.setenv("MPC_TPU_AOT_CACHE", str(tmp_path))
+    cfg = ge._small_cfg(N=4)
+    ysp = np.array([0.2, 0.0, 0.0])
+    x0s = np.tile(np.asarray(cfg.x0_p, float), (4, 1))
+
+    r1 = make_closed_loop_runner(cfg, 2, 4, ysp=ysp, aot_key="auto")
+    _, o1 = r1(x0s)
+    files = sorted(tmp_path.glob("*.jaxexp"))
+    assert len(files) == 1
+    mtime = files[0].stat().st_mtime
+
+    # an independently-built identical config LOADS the artifact
+    r2 = make_closed_loop_runner(ge._small_cfg(N=4), 2, 4, ysp=ysp,
+                                 aot_key="auto")
+    _, o2 = r2(x0s)
+    assert len(list(tmp_path.glob("*.jaxexp"))) == 1
+    assert files[0].stat().st_mtime == mtime
+    assert np.array_equal(np.asarray(o1.u), np.asarray(o2.u))
+
+    # a one-field change misses (new artifact)
+    r3 = make_closed_loop_runner(ge._small_cfg(N=5), 2, 4, ysp=ysp,
+                                 aot_key="auto")
+    r3(x0s)
+    assert len(list(tmp_path.glob("*.jaxexp"))) == 2

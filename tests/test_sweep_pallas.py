@@ -179,3 +179,99 @@ def test_autotune_probe_and_cache(tmp_path, monkeypatch):
     # a different shape signature re-probes (separate cache line)
     w3 = autotune_sweep_impl(_ode, 3, None, None, 32, 5, 3, 2, 3, 2)
     assert w3 in ("pallas", "lanes", "jacfwd")
+
+
+def test_contform_pallas_matches_generic(monkeypatch):
+    """ContForm joint sweep kernel (value+J+quadrature grad/Hessian via
+    nested jvp) vs the per-stage jacfwd+hessian fallback."""
+    monkeypatch.setenv("MPC_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("MPC_TPU_SWEEP_IMPL", "pallas")
+    from mpc_code_tpu.ops.integrators import rk4_quad_stage_hess
+
+    def ode(x, t, u, d, px, xs, us, py):
+        return jnp.stack([x[1] * u[0] - jnp.exp(-x[0]) + px[0] + d[0],
+                          -x[0] * x[1] * 0.5 + u[0] * t + xs[0] * 0.01])
+
+    def quad(x, t, u, d, px, xs, us, py):
+        y = jnp.stack([x[0], x[1]])
+        return u[0] * (1.3 - 0.7 * y[1]) + 0.1 * (x[0] - xs[0]) ** 2
+
+    F = rk4_quad_stage_hess(ode, quad, 3)
+    rng = np.random.default_rng(0)
+    B, N, nx, nu = 4, 3, 2, 1
+    args = (jnp.asarray(rng.normal(size=(B, N, nx)) * 0.3),
+            jnp.asarray(rng.normal(size=(B, N, nu)) * 0.2),
+            jnp.asarray(rng.normal(size=(B, N, 1)) * 0.1),
+            jnp.asarray(rng.normal(size=(B, N, 1)) * 0.1),
+            jnp.asarray(rng.normal(size=(B,)) * 0.1),
+            jnp.full((B,), 0.2),
+            jnp.asarray(rng.normal(size=(B, 2)) * 0.1),
+            jnp.asarray(rng.normal(size=(B, nx)) * 0.1),
+            jnp.asarray(rng.normal(size=(B, nu)) * 0.1))
+    bat = jax.jit(jax.vmap(F))(*args)          # pallas rule
+    ref = [F(*[a[b] for a in args]) for b in range(B)]
+    for i in range(6):
+        r = np.stack([np.asarray(rr[i]) for rr in ref])
+        assert np.abs(np.asarray(bat[i]) - r).max() < 1e-10, i
+
+
+def test_solver_contform_pallas_matches_generic(monkeypatch):
+    """ENMPC-style economic OCP solved through the Pallas ContForm sweep
+    vs the generic dense sweep: same statuses, same KKT point."""
+    from mpc_code_tpu.config import SolverOptions
+    from mpc_code_tpu.examples.enmpc import make_config
+    from mpc_code_tpu.models import (
+        build_model, build_stage_cost, build_terminal_cost,
+    )
+    from mpc_code_tpu.solver.riccati import (
+        build_structured_ocp, make_structured_solver,
+    )
+    import dataclasses as dc
+
+    N = 6
+    cfg = make_config().replace(N=N)
+    cfg = cfg.replace(model=dc.replace(cfg.model, Mx=4))
+    model = build_model(cfg)
+    f_obj = build_stage_cost(cfg.stage_cost)
+    vfin = build_terminal_cost(cfg)
+    x0_b = np.asarray(cfg.x0_m, float)
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(x0_b + rng.uniform(-0.15, 0.15, size=(4, 2)))
+    us0 = np.asarray(cfg.u0, float)
+
+    res = {}
+    for mode in ("pallas", "generic"):
+        if mode == "pallas":
+            monkeypatch.setenv("MPC_TPU_PALLAS_INTERPRET", "1")
+            monkeypatch.setenv("MPC_TPU_SWEEP_IMPL", "pallas")
+            monkeypatch.setenv("MPC_TPU_FAST_SWEEP", "1")
+        else:
+            monkeypatch.delenv("MPC_TPU_PALLAS_INTERPRET", raising=False)
+            monkeypatch.delenv("MPC_TPU_SWEEP_IMPL", raising=False)
+            monkeypatch.setenv("MPC_TPU_FAST_SWEEP", "0")
+        socp = build_structured_ocp(cfg, model, f_obj, vfin)
+        assert (socp.stage_cf is not None) == (mode == "pallas")
+        solve = make_structured_solver(
+            socp, SolverOptions(max_iter=80, tol=1e-8,
+                                hessian="gauss_newton"))
+
+        def lane(x0):
+            par = dict(x0=x0, xs=jnp.asarray(x0_b), us=jnp.asarray(us0),
+                       d=jnp.zeros(2), um1=jnp.asarray(us0),
+                       t=jnp.asarray(0.0),
+                       lam=jnp.zeros((cfg.ny, cfg.nu)),
+                       px=jnp.zeros((N, cfg.npx)),
+                       py=jnp.zeros((N, cfg.npy)))
+            X0 = jnp.tile(x0[None], (N + 1, 1))
+            U0 = jnp.tile(jnp.asarray(us0), (N, 1))
+            return solve(par, X0, U0)
+
+        res[mode] = jax.jit(jax.vmap(lane))(x0s)
+
+    assert (np.asarray(res["pallas"].status)
+            == np.asarray(res["generic"].status)).all()
+    ok = np.asarray(res["generic"].status) != 2
+    assert ok.any()
+    dev = np.abs(np.asarray(res["pallas"].U)
+                 - np.asarray(res["generic"].U))[ok].max()
+    assert dev < 1e-5, dev

@@ -48,11 +48,12 @@ def main():
         cfg = make_config(Nsim=Nsim).replace(N=N)
         cfg.estimator.N_mhe = N_mhe
         if on_chip:
-            # ENMPC_HESS=gauss_newton drops constraint curvature (with
-            # MPC_TPU_FAST_SWEEP=1 it also engages the opt-in ContForm
-            # joint lanes-minor sweep rk4_quad_stage_hess); exact (default)
-            # keeps the curvature term (fewer iterations, pricier sweep)
-            hess = os.environ.get("ENMPC_HESS", "exact")
+            # gauss_newton (default since round 5) engages the fused
+            # Pallas ContForm joint sweep (rk4_quad_stage_hess_pallas):
+            # chip A/B 60,108 vs 41,123 steps/s with identical
+            # convergence (ok 32768/32768 both).  ENMPC_HESS=exact keeps
+            # the Lagrangian curvature term (generic batch-major sweep).
+            hess = os.environ.get("ENMPC_HESS", "gauss_newton")
             cfg = cfg.replace(sol_opts_ss=SolverOptions.for_f32(),
                               sol_opts_dyn=SolverOptions.for_f32(hessian=hess),
                               sol_opts_mhe=SolverOptions.for_f32())
