@@ -101,7 +101,8 @@ def main():
                              mu_strategy=mu_strategy,
                              ls_parallel=os.environ.get("BENCH_LS", "seq") == "par",
                              sweep_every=int(os.environ.get("BENCH_SWEEP_EVERY", "1")),
-                             dual_init=os.environ.get("BENCH_DUAL_INIT", "zero"))
+                             dual_init=os.environ.get("BENCH_DUAL_INIT", "zero"),
+                             track_best=os.environ.get("BENCH_TRACK_BEST", "1") == "1")
 
     par_scan = os.environ.get("BENCH_PAR", "0") == "1"
     MAXIT1 = int(os.environ.get("BENCH_MAXIT", "12"))

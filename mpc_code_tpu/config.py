@@ -354,6 +354,16 @@ class SolverOptions:
     # neutrals).  Kept for exact-Hessian/tight-tolerance workloads where
     # Lagrangian curvature at iteration 1 matters.
     dual_init: str = "zero"
+    # Best-KKT-iterate bookkeeping (return the best iterate seen if the
+    # final one is worse — insurance against a late garbage step).  The
+    # three extra (N, .) carries it adds to the solver while-loop cost
+    # real HBM/alternate-memory traffic per iteration at bench batches;
+    # track_best=False freezes them (loop-invariant, hoisted by XLA) and
+    # always returns the final iterate.  Chip A/B at the bench point
+    # (round 5, back-to-back runs): 122.0 ms on vs 122.6 ms off — the
+    # carry traffic overlaps fully, so the insurance is FREE there and
+    # stays default-on.
+    track_best: bool = True
     # EXPERIMENTAL: re-linearize every K-th iteration only (K > 1), taking
     # K-1 modified-Newton steps between full derivative sweeps — stale
     # Jacobians/Hessians with freshly re-evaluated primal values and cost

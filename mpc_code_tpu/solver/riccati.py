@@ -1504,13 +1504,18 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
             e_mu, _ = kkt_at(st.mu)
             e_0, feas = kkt_at(jnp.zeros_like(st.mu))
             done_now = e_0 <= opts.tol
-            # best-iterate bookkeeping (see _SState.bX docstring)
-            better = e_0 < st.bkkt
-            bX_n = jnp.where(better, X, st.bX)
-            bU_n = jnp.where(better, U, st.bU)
-            bS_n = jnp.where(better, S, st.bS)
-            bkkt_n = jnp.where(better, e_0, st.bkkt)
-            bfeas_n = jnp.where(better, feas, st.bfeas)
+            # best-iterate bookkeeping (see _SState.bX docstring);
+            # track_best=False freezes the carries (loop-invariant)
+            if opts.track_best:
+                better = e_0 < st.bkkt
+                bX_n = jnp.where(better, X, st.bX)
+                bU_n = jnp.where(better, U, st.bU)
+                bS_n = jnp.where(better, S, st.bS)
+                bkkt_n = jnp.where(better, e_0, st.bkkt)
+                bfeas_n = jnp.where(better, feas, st.bfeas)
+            else:
+                bX_n, bU_n, bS_n = st.bX, st.bU, st.bS
+                bkkt_n, bfeas_n = st.bkkt, st.bfeas
             mu = jnp.where(e_mu <= _KAPPA_EPS * st.mu,
                            jnp.maximum(opts.tol / 10.0,
                                        jnp.minimum(_KAPPA_MU * st.mu, st.mu ** _THETA_MU)),
@@ -2073,7 +2078,7 @@ def make_structured_solver(s: StructuredOCP, opts: SolverOptions = SolverOptions
         # A 10x margin keeps normal convergence — where successive iterates
         # jitter around the floating-point KKT floor while still polishing
         # the primal point — on the final iterate.
-        use_best = fin.bkkt < 0.1 * fin.kkt0
+        use_best = (fin.bkkt < 0.1 * fin.kkt0) if opts.track_best else jnp.asarray(False)
         X_fin = jnp.where(use_best, fin.bX, fin.X)
         U_fin = jnp.where(use_best, fin.bU, fin.U)
         kkt_fin = jnp.where(use_best, fin.bkkt, fin.kkt0)

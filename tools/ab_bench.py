@@ -65,7 +65,8 @@ def main():
             mu_strategy=mu or os.environ.get("BENCH_MU", "monotone"),
             ls_parallel=os.environ.get("BENCH_LS", "seq") == "par",
             ls_mode=ls_mode,
-            dual_init=os.environ.get("BENCH_DUAL_INIT", "zero"))
+            dual_init=os.environ.get("BENCH_DUAL_INIT", "zero"),
+            track_best=os.environ.get("BENCH_TRACK_BEST", "1") == "1")
 
     def set_sweep_env(sweep):
         if sweep in (None, "auto"):
