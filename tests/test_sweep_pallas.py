@@ -275,3 +275,25 @@ def test_solver_contform_pallas_matches_generic(monkeypatch):
     dev = np.abs(np.asarray(res["pallas"].U)
                  - np.asarray(res["generic"].U))[ok].max()
     assert dev < 1e-5, dev
+
+
+def test_rk4_pallas_zero_size_leaves(monkeypatch):
+    """Zero-size d/px leaves never enter the kernel (Mosaic rejects
+    zero-size operands) and are reconstructed as dead trace-time values —
+    chip-verified on TPU v5e (round 5), pinned here in interpret mode."""
+    monkeypatch.setenv("MPC_TPU_PALLAS_INTERPRET", "1")
+    from mpc_code_tpu.ops.sweep_pallas import rk4_stage_jac_pallas
+
+    def ode(x, t, u, d, px):   # ignores d and px entirely
+        return jnp.stack([x[1] * u[0] - jnp.exp(-x[0]),
+                          -x[0] * 0.5 + u[1] * t])
+
+    F = rk4_stage_jac_pallas(ode, 3)
+    rng = np.random.default_rng(4)
+    B, N = 4, 3
+    xs = jnp.asarray(rng.normal(size=(B, N, 2)) * 0.3)
+    us = jnp.asarray(rng.normal(size=(B, N, 2)) * 0.2)
+    out = F(xs, us, jnp.zeros((B, N, 0)), jnp.zeros((B,)),
+            jnp.full((B,), 0.2), jnp.zeros((B, 0)))
+    assert np.isfinite(np.asarray(out[0])).all()
+    assert out[1].shape == (B, N, 2, 2) and out[2].shape == (B, N, 2, 2)
